@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark: training-step rays/s on the canonical chair-like config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's published number — a GTX 1050Ti takes ~10 min for
+5k iterations at N_rand=1024 (README.md:13, configs/chair.txt) ≈ 8.3 it/s ≈
+8533 rays/s. vs_baseline = our rays/s / 8533.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_RAYS_PER_S = 5000 * 1024 / 600.0  # 1050Ti reference ≈ 8533 rays/s
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from hashnerf_tpu.data.synthetic import make_synthetic_scene
+    from hashnerf_tpu.train.config import config_parser
+    from hashnerf_tpu.train.driver import Trainer
+
+    # Canonical chair hyperparams (reference configs/chair.txt + README.md:20):
+    # N_rand=1024, 64 coarse + 128 fine samples, finest_res 512, log2T 19.
+    args = config_parser().parse_args([])
+    args.N_rand = 1024
+    args.N_samples = 64
+    args.N_importance = 128
+    args.finest_res = 512
+    args.log2_hashmap_size = 19
+    args.lrate = 0.01
+    args.lrate_decay = 10
+    args.use_viewdirs = True
+    args.white_bkgd = True
+    args.no_batching = True
+    if os.environ.get("BENCH_BF16"):
+        args.compute_dtype = "bfloat16"
+
+    scene = make_synthetic_scene(H=128, W=128, n_train=8, n_test=2)
+    trainer = Trainer(args, scene)
+
+    rng = np.random.default_rng(0)
+
+    def one_step():
+        img_i = int(rng.choice(scene.i_train))
+        batch = trainer.sample_image(img_i, args.N_rand, precrop=False)
+        return trainer.step(batch)
+
+    # Warmup / compile
+    m = one_step()
+    jax.block_until_ready(m["loss"])
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "100"))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        m = one_step()
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_s = n_iters * args.N_rand / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_s",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Multiresolution hash-grid encoding (Instant-NGP) as a pure JAX function.
+
+Capability parity: /root/reference/embedding/hash_encoding.py:13-163
+(HashEmbedder.forward / get_voxel_vertices / trilinear_interp).
+
+TPU-first design notes:
+  * The table is ONE parameter array of shape (L, 2^T, F) instead of 16
+    separate nn.Embedding objects — a single parameter to shard/replicate and
+    one flattened gather for all levels.
+  * All L levels are processed as a batched computation: corner indices for
+    every level are computed vectorized, offset into a flattened (L*2^T, F)
+    view, and fetched with a single XLA gather. Trilinear blending is an
+    einsum (corner-weight x features) that XLA fuses with the gather.
+  * Per-level resolutions are STATIC python ints (computed in float32 to
+    reproduce the reference's torch-float32 `floor(base * b**i)` exactly), so
+    everything is fixed-shape and jit/pjit friendly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hashnerf_tpu.ops.hashing import spatial_hash, BOX_OFFSETS
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridConfig:
+    n_levels: int = 16
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_resolution: int = 16
+    finest_resolution: int = 512
+
+    @property
+    def out_dim(self) -> int:
+        return self.n_levels * self.n_features_per_level
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_hashmap_size
+
+    @property
+    def resolutions(self) -> Tuple[int, ...]:
+        return level_resolutions(
+            self.base_resolution, self.finest_resolution, self.n_levels
+        )
+
+
+def level_resolutions(base: int, finest: int, n_levels: int) -> Tuple[int, ...]:
+    """Per-level voxel resolutions, geometric progression.
+
+    Matches reference hash_encoding.py:50,101: b computed in float32,
+    resolution_i = floor(base * b**i) in float32.
+    """
+    base_f = np.float32(base)
+    fin_f = np.float32(finest)
+    b = np.float32(
+        np.exp(
+            (np.log(fin_f, dtype=np.float32) - np.log(base_f, dtype=np.float32))
+            / np.float32(n_levels - 1)
+        )
+    )
+    out = []
+    for i in range(n_levels):
+        res = np.floor(base_f * np.float32(b) ** np.float32(i))
+        out.append(int(res))
+    return tuple(out)
+
+
+def init_hash_table(key: jax.Array, cfg: HashGridConfig) -> jnp.ndarray:
+    """U(-1e-4, 1e-4) init (reference hash_encoding.py:52-56)."""
+    return jax.random.uniform(
+        key,
+        (cfg.n_levels, cfg.table_size, cfg.n_features_per_level),
+        minval=-1e-4,
+        maxval=1e-4,
+        dtype=jnp.float32,
+    )
+
+
+def _corner_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear corner weights. w: (..., 3) in [0,1] -> (..., 8).
+
+    Corner n uses bits (i,j,k) = (n>>2, (n>>1)&1, n&1), matching BOX_OFFSETS
+    and the reference's interpolation order (hash_encoding.py:130-163).
+    """
+    wx = w[..., 0:1]
+    wy = w[..., 1:2]
+    wz = w[..., 2:3]
+    offs = jnp.asarray(BOX_OFFSETS, dtype=w.dtype)  # (8, 3)
+    cx = jnp.where(offs[:, 0] > 0, wx, 1.0 - wx)  # (..., 8)
+    cy = jnp.where(offs[:, 1] > 0, wy, 1.0 - wy)
+    cz = jnp.where(offs[:, 2] > 0, wz, 1.0 - wz)
+    return cx * cy * cz
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def hash_encode(
+    table: jnp.ndarray,
+    x: jnp.ndarray,
+    bbox_min: jnp.ndarray,
+    bbox_max: jnp.ndarray,
+    cfg: HashGridConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encode points through the multiresolution hash grid.
+
+    table: (L, 2^T, F) parameter array.
+    x: (N, 3) world-space points.
+    Returns (features (N, L*F), keep_mask (N,)) — keep_mask marks points that
+    were inside the bbox before clipping (reference hash_encoding.py:66-69,109).
+    """
+    L = cfg.n_levels
+    F = cfg.n_features_per_level
+    T = cfg.table_size
+    resolutions = jnp.asarray(np.array(cfg.resolutions, dtype=np.float32))  # (L,)
+
+    bbox_min = bbox_min.astype(x.dtype)
+    bbox_max = bbox_max.astype(x.dtype)
+    keep_mask = jnp.all((x >= bbox_min) & (x <= bbox_max), axis=-1)
+    xc = jnp.clip(x, bbox_min, bbox_max)
+
+    # Per-level voxel sizes: (L, 1, 3)
+    grid = (bbox_max - bbox_min)[None, :] / resolutions[:, None]  # (L, 3)
+    grid = grid[:, None, :]
+
+    rel = (xc[None, :, :] - bbox_min) / grid  # (L, N, 3)
+    bl = jnp.floor(rel).astype(jnp.int32)  # bottom-left voxel index
+    # Interp weights: (x - voxel_min_vertex) / grid, computed exactly like the
+    # reference (voxel_min_vertex = bl * grid + bbox_min).
+    minv = bl.astype(xc.dtype) * grid + bbox_min
+    w = (xc[None, :, :] - minv) / grid  # (L, N, 3)
+
+    corners = bl[:, :, None, :] + jnp.asarray(BOX_OFFSETS)[None, None, :, :]  # (L,N,8,3)
+    idx = spatial_hash(corners, cfg.log2_hashmap_size)  # (L, N, 8) int32
+
+    # One flat gather across all levels: index into (L*2^T, F).
+    level_offset = (jnp.arange(L, dtype=jnp.int32) * T)[:, None, None]
+    flat_idx = (idx + level_offset).reshape(-1)  # (L*N*8,)
+    emb = jnp.take(table.reshape(L * T, F), flat_idx, axis=0)
+    emb = emb.reshape(L, -1, 8, F)  # (L, N, 8, F)
+
+    cw = _corner_weights(w)  # (L, N, 8)
+    feats = jnp.einsum("lnc,lncf->lnf", cw, emb, precision="highest")  # (L, N, F)
+    # Concat levels -> (N, L*F) in level order like the reference's cat.
+    feats = jnp.moveaxis(feats, 0, 1).reshape(-1, L * F)
+    return feats, keep_mask

@@ -1,0 +1,85 @@
+"""Ray-march z-value samplers: stratified and hierarchical (inverse-CDF).
+
+Capability parity: /root/reference/run_nerf_helpers.py:514-536 (stratified
+sampling inside render_rays) and :264-307 (sample_pdf). RNG is explicit JAX
+keys instead of global torch RNG; `det=True` reproduces the deterministic
+linspace path the reference uses at test time (perturb == 0).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_z_vals(
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    N_samples: int,
+    lindisp: bool = False,
+) -> jnp.ndarray:
+    """Deterministic z-values linearly in depth (or inverse depth).
+
+    near/far: (N_rays,) or (N_rays, 1). Returns (N_rays, N_samples).
+    """
+    near = near.reshape(-1, 1)
+    far = far.reshape(-1, 1)
+    t_vals = jnp.linspace(0.0, 1.0, N_samples)
+    if not lindisp:
+        z_vals = near * (1.0 - t_vals) + far * t_vals
+    else:
+        z_vals = 1.0 / (1.0 / near * (1.0 - t_vals) + 1.0 / far * t_vals)
+    return z_vals
+
+
+def perturb_z_vals(key: jax.Array, z_vals: jnp.ndarray) -> jnp.ndarray:
+    """Stratified jitter of z-values within their mid-point intervals
+    (reference run_nerf_helpers.py:522-536)."""
+    mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    upper = jnp.concatenate([mids, z_vals[..., -1:]], -1)
+    lower = jnp.concatenate([z_vals[..., :1], mids], -1)
+    t_rand = jax.random.uniform(key, z_vals.shape)
+    return lower + (upper - lower) * t_rand
+
+
+def sample_pdf(
+    key: Optional[jax.Array],
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    N_samples: int,
+    det: bool = False,
+    u: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Inverse-transform sampling from the piecewise-constant weight PDF.
+
+    bins: (N_rays, M) z-mid bin edges; weights: (N_rays, M-1).
+    Returns (N_rays, N_samples) new z samples.
+    `u` overrides the uniform draws (golden-test seam, mirroring the
+    reference's `pytest=` hook at run_nerf_helpers.py:278-287).
+    """
+    weights = weights + 1e-5  # prevent nans
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)  # (N_rays, M)
+
+    if u is None:
+        if det:
+            u = jnp.linspace(0.0, 1.0, N_samples)
+            u = jnp.broadcast_to(u, cdf.shape[:-1] + (N_samples,))
+        else:
+            u = jax.random.uniform(key, cdf.shape[:-1] + (N_samples,))
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)

@@ -1,0 +1,267 @@
+"""Functional volume renderer: stratified + hierarchical ray-march.
+
+Capability parity: /root/reference/run_nerf_helpers.py — render_rays (:464),
+render (:310), render_path (:395). Design: `render_rays` is a pure jit-able
+function over static (RenderConfig, query_fn); `render` prepares/reshapes rays
+and runs fixed-size chunks (one compiled program reused across chunks);
+`render_path` iterates poses and computes PSNR against ground truth.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hashnerf_tpu.ops.rays import get_rays, get_ndc_rays
+from hashnerf_tpu.ops.sampling import stratified_z_vals, perturb_z_vals, sample_pdf
+from hashnerf_tpu.ops.volume import raw2outputs
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    N_samples: int = 64
+    N_importance: int = 0
+    perturb: bool = True
+    raw_noise_std: float = 0.0
+    white_bkgd: bool = False
+    lindisp: bool = False
+    ndc: bool = False
+    use_viewdirs: bool = True
+    retraw: bool = False
+
+    def eval_mode(self) -> "RenderConfig":
+        """perturb off, noise off (reference run_nerf_helpers.py:196-198)."""
+        return dataclasses.replace(self, perturb=False, raw_noise_std=0.0)
+
+
+def render_rays(
+    state,
+    query_fn: Callable,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    viewdirs: Optional[jnp.ndarray],
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    bbox: jnp.ndarray,
+    key: Optional[jax.Array],
+    cfg: RenderConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Core per-batch ray march (reference run_nerf_helpers.py:464-574).
+
+    rays_o/rays_d: (R, 3); near/far: (R,) or scalar; bbox: (2, 3).
+    Returns dict of maps; coarse-pass outputs keyed rgb0/depth0/acc0/... when
+    hierarchical sampling is on.
+    """
+    R = rays_o.shape[0]
+    near = jnp.broadcast_to(jnp.asarray(near, rays_o.dtype), (R,))
+    far = jnp.broadcast_to(jnp.asarray(far, rays_o.dtype), (R,))
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_strat, k_noise0, k_pdf, k_noise1 = jax.random.split(key, 4)
+
+    z_vals = stratified_z_vals(near, far, cfg.N_samples, cfg.lindisp)
+    if cfg.perturb:
+        z_vals = perturb_z_vals(k_strat, z_vals)
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    raw = query_fn(state, pts, viewdirs, bbox, fine=False)
+    out = raw2outputs(
+        raw, z_vals, rays_d, cfg.raw_noise_std, cfg.white_bkgd, noise_key=k_noise0
+    )
+
+    ret = {}
+    if cfg.N_importance > 0:
+        ret.update(
+            rgb0=out.rgb_map, depth0=out.depth_map, acc0=out.acc_map,
+            sparsity_loss0=out.sparsity_loss,
+        )
+        z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(
+            k_pdf,
+            z_vals_mid,
+            out.weights[..., 1:-1],
+            cfg.N_importance,
+            det=(not cfg.perturb),
+        )
+        z_samples = jax.lax.stop_gradient(z_samples)
+        z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        raw = query_fn(state, pts, viewdirs, bbox, fine=True)
+        out = raw2outputs(
+            raw, z_vals, rays_d, cfg.raw_noise_std, cfg.white_bkgd, noise_key=k_noise1
+        )
+        ret["z_std"] = jnp.std(z_samples, axis=-1)
+
+    ret.update(
+        rgb_map=out.rgb_map, depth_map=out.depth_map, acc_map=out.acc_map,
+        disp_map=out.disp_map, sparsity_loss=out.sparsity_loss,
+    )
+    if raw.shape[-1] >= 7:
+        # NeRFGradient path: composite the 3-ch gradient head with the same
+        # ray weights (the reference's intent for st3d gradient supervision;
+        # its own wiring is broken — SURVEY.md §8, run_nerf.py:432).
+        ret["grad_map"] = jnp.sum(out.weights[..., None] * raw[..., 4:7], axis=-2)
+    if cfg.retraw:
+        ret["raw"] = raw
+    return ret
+
+
+def _prepare_rays(
+    H: int,
+    W: int,
+    K,
+    cfg: RenderConfig,
+    rays: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    c2w=None,
+    c2w_staticcam=None,
+):
+    """Ray prep: full-image vs batch, viewdir normalization, NDC warp
+    (reference render(), run_nerf_helpers.py:337-366)."""
+    if c2w is not None:
+        rays_o, rays_d = get_rays(H, W, K, c2w)
+    else:
+        rays_o, rays_d = rays
+
+    viewdirs = None
+    if cfg.use_viewdirs:
+        viewdirs = rays_d
+        if c2w_staticcam is not None:
+            rays_o, rays_d = get_rays(H, W, K, c2w_staticcam)
+        viewdirs = viewdirs / jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
+        viewdirs = viewdirs.reshape(-1, 3)
+
+    sh = rays_d.shape
+    if cfg.ndc:
+        rays_o, rays_d = get_ndc_rays(H, W, float(K[0][0]), 1.0, rays_o, rays_d)
+
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    return rays_o, rays_d, viewdirs, sh
+
+
+def render(
+    state,
+    query_fn: Callable,
+    H: int,
+    W: int,
+    K,
+    bbox,
+    cfg: RenderConfig,
+    chunk: int = 1024 * 32,
+    rays: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    c2w=None,
+    near: float = 0.0,
+    far: float = 1.0,
+    c2w_staticcam=None,
+    key: Optional[jax.Array] = None,
+):
+    """Chunked rendering of a ray batch or a full image.
+
+    Returns (rgb_map, depth_map, acc_map, extras) with leading dims matching
+    the input ray layout (reference run_nerf_helpers.py:310-392).
+    """
+    rays_o, rays_d, viewdirs, sh = _prepare_rays(
+        H, W, K, cfg, rays=rays, c2w=c2w, c2w_staticcam=c2w_staticcam
+    )
+    bbox = jnp.asarray(bbox)
+    N = rays_o.shape[0]
+
+    # Pad to a whole number of chunks so every chunk reuses one compiled program.
+    n_chunks = max(1, -(-N // chunk))
+    pad = n_chunks * chunk - N
+
+    def pad0(x):
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0) if pad else x
+
+    rays_o_p, rays_d_p = pad0(rays_o), pad0(rays_d)
+    viewdirs_p = pad0(viewdirs) if viewdirs is not None else None
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, n_chunks)
+
+    all_ret: Dict[str, list] = {}
+    for i in range(n_chunks):
+        s = i * chunk
+        vo = viewdirs_p[s : s + chunk] if viewdirs_p is not None else None
+        ret = render_rays(
+            state, query_fn,
+            rays_o_p[s : s + chunk], rays_d_p[s : s + chunk], vo,
+            near, far, bbox, keys[i], cfg,
+        )
+        for k, v in ret.items():
+            all_ret.setdefault(k, []).append(v)
+
+    out = {k: jnp.concatenate(v, 0)[:N] for k, v in all_ret.items()}
+    for k in out:
+        out[k] = out[k].reshape(sh[:-1] + out[k].shape[1:])
+
+    extract = ["rgb_map", "depth_map", "acc_map"]
+    extras = {k: v for k, v in out.items() if k not in extract}
+    return out["rgb_map"], out["depth_map"], out["acc_map"], extras
+
+
+def render_path(
+    state,
+    query_fn: Callable,
+    render_poses,
+    hwf,
+    K,
+    bbox,
+    cfg: RenderConfig,
+    chunk: int = 1024 * 32,
+    near: float = 0.0,
+    far: float = 1.0,
+    gt_imgs=None,
+    savedir: Optional[str] = None,
+    render_factor: int = 0,
+):
+    """Render a pose path; returns (rgbs, depths, psnrs) as numpy arrays.
+
+    Depth normalized to [0,1] by (near, far) like the reference
+    (run_nerf_helpers.py:395-459). Saving side-effects live in
+    hashnerf_tpu.utils.io to keep this function pure-ish.
+    """
+    H, W, focal = hwf
+    if render_factor != 0:
+        H = H // render_factor
+        W = W // render_factor
+        focal = focal / render_factor
+        K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]])
+
+    rgbs, depths, psnrs = [], [], []
+    t = time.time()
+    for i, c2w in enumerate(render_poses):
+        c2w = jnp.asarray(c2w)[:3, :4]
+        rgb, depth, acc, _ = render(
+            state, query_fn, H, W, K, bbox, cfg.eval_mode(),
+            chunk=chunk, c2w=c2w, near=near, far=far,
+        )
+        rgb = np.asarray(rgb)
+        depth = (np.asarray(depth) - near) / (far - near)
+        rgbs.append(rgb)
+        depths.append(depth)
+        if gt_imgs is not None and render_factor == 0:
+            gt = np.asarray(gt_imgs[i])
+            p = -10.0 * np.log10(np.mean(np.square(rgb - gt)))
+            psnrs.append(float(p))
+        if i == 0:
+            dt = time.time() - t
+        t = time.time()
+
+    rgbs = np.stack(rgbs, 0)
+    depths = np.stack(depths, 0)
+
+    if savedir is not None:
+        from hashnerf_tpu.utils.io import save_render_figures, save_psnr_pickle
+
+        save_render_figures(savedir, rgbs, depths)
+        if psnrs:
+            save_psnr_pickle(savedir, psnrs)
+
+    return rgbs, depths, psnrs

@@ -1,0 +1,154 @@
+"""CLI/config system: every reference flag, settable from CLI or --config file.
+
+Capability parity: /root/reference/run_nerf.py:33-169 (config_parser) — same
+flag names, defaults, and semantics; reads the reference's `key = value` text
+configs (configs/*.txt) without the configargparse dependency. Also
+create_expname (reference util.py:61-78).
+"""
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional, Sequence
+
+
+def _parse_config_file(path: str) -> List[str]:
+    """Convert a configargparse-style `key = value` file to CLI argv tokens."""
+    argv: List[str] = []
+    with open(path, "r") as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "=" in line:
+                key, val = line.split("=", 1)
+            else:
+                parts = line.split(None, 1)
+                key, val = parts[0], (parts[1] if len(parts) > 1 else "true")
+            key, val = key.strip(), val.strip()
+            if val.lower() in ("true", "yes"):
+                argv.append(f"--{key}")
+            elif val.lower() in ("false", "no"):
+                pass  # store_true flags default to False
+            else:
+                argv.extend([f"--{key}", val])
+    return argv
+
+
+def config_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="run_nerf")
+    parser.add_argument("--config", type=str, default=None, help="config file path")
+    parser.add_argument("--expname", type=str, default="exp", help="experiment name")
+    parser.add_argument("--basedir", type=str, default="./logs/")
+    parser.add_argument("--datadir", type=str, default="./data/llff/fern")
+
+    # training options
+    parser.add_argument("--netdepth", type=int, default=8)
+    parser.add_argument("--netwidth", type=int, default=256)
+    parser.add_argument("--netdepth_fine", type=int, default=8)
+    parser.add_argument("--netwidth_fine", type=int, default=256)
+    parser.add_argument("--N_rand", type=int, default=32 * 32 * 4)
+    parser.add_argument("--lrate", type=float, default=5e-4)
+    parser.add_argument("--lrate_decay", type=int, default=250)
+    parser.add_argument("--chunk", type=int, default=1024 * 32)
+    parser.add_argument("--netchunk", type=int, default=1024 * 64)
+    parser.add_argument("--no_batching", action="store_true")
+    parser.add_argument("--no_reload", action="store_true")
+    parser.add_argument("--ft_path", type=str, default=None)
+    parser.add_argument("--N_iters", type=int, default=50000,
+                        help="training iterations (reference hardcodes 50k std / 200k st3d)")
+
+    # rendering options
+    parser.add_argument("--N_samples", type=int, default=64)
+    parser.add_argument("--N_importance", type=int, default=0)
+    parser.add_argument("--perturb", type=float, default=1.0)
+    parser.add_argument("--use_viewdirs", action="store_true")
+    parser.add_argument("--i_embed", type=int, default=1)
+    parser.add_argument("--i_embed_views", type=int, default=2)
+    parser.add_argument("--multires", type=int, default=10)
+    parser.add_argument("--multires_views", type=int, default=4)
+    parser.add_argument("--raw_noise_std", type=float, default=0.0)
+
+    parser.add_argument("--render_only", action="store_true")
+    parser.add_argument("--render_test", action="store_true")
+    parser.add_argument("--render_factor", type=int, default=0)
+
+    parser.add_argument("--precrop_iters", type=int, default=0)
+    parser.add_argument("--precrop_frac", type=float, default=0.5)
+
+    # dataset options
+    parser.add_argument("--dataset_type", type=str, default="llff")
+    parser.add_argument("--testskip", type=int, default=8)
+    parser.add_argument("--shape", type=str, default="greek")  # deepvoxels
+    parser.add_argument("--white_bkgd", action="store_true")
+    parser.add_argument("--half_res", action="store_true")
+    parser.add_argument("--scannet_sceneID", type=str, default="scene0000_00")
+    parser.add_argument("--factor", type=int, default=8)  # llff
+    parser.add_argument("--no_ndc", action="store_true")
+    parser.add_argument("--lindisp", action="store_true")
+    parser.add_argument("--spherify", action="store_true")
+    parser.add_argument("--llffhold", type=int, default=8)
+
+    # st3d flags
+    parser.add_argument("--use_depth", action="store_true")
+    parser.add_argument("--use_gradient", action="store_true")
+    parser.add_argument("--stage", type=int, default=0)
+
+    # logging/saving options
+    parser.add_argument("--i_print", type=int, default=100)
+    parser.add_argument("--i_img", type=int, default=500)
+    parser.add_argument("--i_weights", type=int, default=10000)
+    parser.add_argument("--i_testset", type=int, default=1000)
+    parser.add_argument("--i_video", type=int, default=5000)
+
+    parser.add_argument("--finest_res", type=int, default=512)
+    parser.add_argument("--log2_hashmap_size", type=int, default=19)
+    parser.add_argument("--sparse-loss-weight", type=float, default=1e-10,
+                        dest="sparse_loss_weight")
+    parser.add_argument("--tv-loss-weight", type=float, default=1e-6,
+                        dest="tv_loss_weight")
+
+    # TPU-native extensions (not in the reference)
+    parser.add_argument("--compute_dtype", type=str, default=None,
+                        help="bfloat16 for MXU-friendly MLP compute")
+    parser.add_argument("--num_devices", type=int, default=0,
+                        help="shard rays over this many devices (0 = all)")
+    parser.add_argument("--use_pallas", action="store_true",
+                        help="use the Pallas fused hash-encode kernel")
+    return parser
+
+
+def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
+    """Two-phase parse: pull --config, splice its tokens before CLI args
+    (CLI overrides config, matching configargparse precedence)."""
+    parser = config_parser()
+    pre, _ = parser.parse_known_args(argv)
+    if pre.config:
+        cfg_tokens = _parse_config_file(pre.config)
+        argv = list(argv) if argv is not None else None
+        import sys
+
+        base = argv if argv is not None else sys.argv[1:]
+        args = parser.parse_args(cfg_tokens + list(base))
+    else:
+        args = parser.parse_args(argv)
+    return args
+
+
+def create_expname(args) -> str:
+    """Encode hyperparams into the experiment name (reference util.py:61-78)."""
+    expname = args.expname
+    if args.i_embed == 1:
+        expname += "_hashXYZ"
+    elif args.i_embed == 0:
+        expname += "_posXYZ"
+    if args.i_embed_views == 2:
+        expname += "_sphereVIEW"
+    elif args.i_embed_views == 0:
+        expname += "_posVIEW"
+    expname += "_fine" + str(args.finest_res) + "_log2T" + str(args.log2_hashmap_size)
+    expname += "_lr" + str(args.lrate) + "_decay" + str(args.lrate_decay)
+    expname += "_RAdam"
+    if args.sparse_loss_weight > 0:
+        expname += "_sparse" + str(args.sparse_loss_weight)
+    expname += "_TV" + str(args.tv_loss_weight)
+    return expname

@@ -1,0 +1,389 @@
+"""Training driver: fully-jitted train step + host-side loop, both ray modes.
+
+Capability parity: /root/reference/run_nerf.py:503-721 (standard loop: random
+ray batching across images OR per-image random pixels with precrop phase,
+losses = mse + coarse mse + entropy sparsity + warmup-only TV, exponential LR
+decay, periodic checkpoint/testset/video/metrics) and :406-501 (st3d loop with
+depth/gradient supervision). The whole optimization step — ray march, losses,
+backward (scatter-add into the hash table), RAdam update — is ONE jitted XLA
+program; the TV warmup weight is a traced scalar so flipping it at iter 1000
+does not recompile.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from hashnerf_tpu.data.scene import Scene, RayBundle
+from hashnerf_tpu.models.factory import ModelConfig, NGPState, create_model, EMBED_HASH
+from hashnerf_tpu.ops.hash_encoding import HashGridConfig
+from hashnerf_tpu.ops.rays import get_rays_np
+from hashnerf_tpu.render.renderer import RenderConfig, render_rays, render, render_path
+from hashnerf_tpu.train.losses import total_variation_loss_all_levels
+from hashnerf_tpu.train.radam import radam
+from hashnerf_tpu.train.checkpoint import save_checkpoint, load_latest_checkpoint
+from hashnerf_tpu.utils.metrics import img2mse, mse2psnr
+
+
+def model_config_from_args(args) -> ModelConfig:
+    return ModelConfig(
+        i_embed=args.i_embed,
+        i_embed_views=args.i_embed_views,
+        multires=args.multires,
+        multires_views=args.multires_views,
+        use_viewdirs=args.use_viewdirs,
+        use_gradient=getattr(args, "use_gradient", False),
+        N_importance=args.N_importance,
+        netdepth=args.netdepth,
+        netwidth=args.netwidth,
+        netdepth_fine=args.netdepth_fine,
+        netwidth_fine=args.netwidth_fine,
+        hash_grid=HashGridConfig(
+            log2_hashmap_size=args.log2_hashmap_size,
+            finest_resolution=args.finest_res,
+        ),
+        compute_dtype=getattr(args, "compute_dtype", None),
+    )
+
+
+def render_config_from_args(args, ndc: bool = False, lindisp: bool = False) -> RenderConfig:
+    return RenderConfig(
+        N_samples=args.N_samples,
+        N_importance=args.N_importance,
+        perturb=args.perturb > 0.0,
+        raw_noise_std=args.raw_noise_std,
+        white_bkgd=args.white_bkgd,
+        lindisp=lindisp,
+        ndc=ndc,
+        use_viewdirs=args.use_viewdirs,
+    )
+
+
+def make_lr_schedule(lrate: float, lrate_decay: int):
+    """lr(t) = lrate * 0.1^(t / (decay*1000)) (reference run_nerf.py:647-651)."""
+    decay_steps = lrate_decay * 1000
+
+    def sched(step):
+        return lrate * jnp.power(0.1, step.astype(jnp.float32) / decay_steps)
+
+    return sched
+
+
+def make_optimizer(args, state: NGPState) -> optax.GradientTransformation:
+    """RAdam with two param groups for the hash path, Adam otherwise
+    (reference run_nerf_helpers.py:131-137)."""
+    sched = make_lr_schedule(args.lrate, args.lrate_decay)
+    if args.i_embed == EMBED_HASH:
+        net_opt = radam(sched, b1=0.9, b2=0.99, eps=1e-8, weight_decay=1e-6)
+        embed_opt = radam(sched, b1=0.9, b2=0.99, eps=1e-15, weight_decay=0.0)
+
+        def label_fn(params: NGPState):
+            return NGPState(
+                hash_table="embed",
+                coarse=jax.tree_util.tree_map(lambda _: "net", params.coarse),
+                fine=jax.tree_util.tree_map(lambda _: "net", params.fine)
+                if params.fine is not None
+                else None,
+            )
+
+        return optax.multi_transform({"net": net_opt, "embed": embed_opt}, label_fn)
+    return optax.adam(sched, b1=0.9, b2=0.999)
+
+
+def make_loss_fn(args, render_cfg: RenderConfig, query_fn, bbox, hcfg: HashGridConfig):
+    """Build the full training loss (image + coarse + sparsity + TV).
+
+    Shared by the single-chip Trainer and the sharded multi-chip step
+    (hashnerf_tpu.parallel.train_sharded)."""
+    cfg = render_cfg
+    use_hash = args.i_embed == EMBED_HASH
+    sparse_w = args.sparse_loss_weight
+    use_depth = getattr(args, "use_depth", False)
+    use_gradient = getattr(args, "use_gradient", False)
+
+    def loss_fn(state, batch, key, tv_weight):
+        k_render, k_tv = jax.random.split(key)
+        ret = render_rays(
+            state, query_fn,
+            batch["rays_o"], batch["rays_d"], batch.get("viewdirs"),
+            batch["near"], batch["far"], bbox, k_render, cfg,
+        )
+        img_loss = img2mse(ret["rgb_map"], batch["target"])
+        loss = img_loss
+        psnr = mse2psnr(img_loss)
+
+        if use_depth and "target_depth" in batch:
+            loss = loss + jnp.mean(jnp.abs(ret["depth_map"] - batch["target_depth"]))
+        if use_gradient and "target_grad" in batch and "grad_map" in ret:
+            loss = loss + img2mse(ret["grad_map"], batch["target_grad"])
+
+        if "rgb0" in ret:
+            loss = loss + img2mse(ret["rgb0"], batch["target"])
+            if use_depth and "target_depth" in batch:
+                loss = loss + jnp.mean(jnp.abs(ret["depth0"] - batch["target_depth"]))
+
+        sparsity = ret["sparsity_loss"].sum()
+        if "sparsity_loss0" in ret:
+            sparsity = sparsity + ret["sparsity_loss0"].sum()
+        loss = loss + sparse_w * sparsity
+
+        if use_hash:
+            tv = total_variation_loss_all_levels(
+                k_tv, state.hash_table,
+                hcfg.base_resolution, hcfg.finest_resolution,
+                hcfg.log2_hashmap_size,
+            )
+            loss = loss + tv_weight * tv
+
+        return loss, (psnr, img_loss)
+
+    return loss_fn
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Owns model state, optimizer state, and the compiled train step."""
+
+    args: Any
+    scene: Optional[Scene] = None
+    key: Any = None
+
+    def __post_init__(self):
+        if self.key is None:
+            self.key = jax.random.PRNGKey(0)
+        args = self.args
+        self.model_cfg = model_config_from_args(args)
+        ndc = self.scene.ndc if self.scene is not None else False
+        lindisp = args.lindisp if (self.scene is None or not self.scene.ndc) else False
+        self.render_cfg = render_config_from_args(args, ndc=ndc, lindisp=lindisp)
+
+        self.key, k_model = jax.random.split(self.key)
+        self.state, self.query_fn = create_model(k_model, self.model_cfg)
+        self.optimizer = make_optimizer(args, self.state)
+        self.opt_state = self.optimizer.init(self.state)
+        self.global_step = 0
+
+        if self.scene is not None:
+            self.bbox = jnp.asarray(self.scene.bbox_array())
+            self.near, self.far = self.scene.near, self.scene.far
+        else:
+            self.bbox = jnp.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], jnp.float32)
+            self.near, self.far = 2.0, 6.0
+
+        self._train_step = self._build_train_step()
+
+    # ------------------------------------------------------------------ #
+    # The jitted step
+    # ------------------------------------------------------------------ #
+    def _build_train_step(self):
+        optimizer = self.optimizer
+        loss_fn = make_loss_fn(
+            self.args, self.render_cfg, self.query_fn, self.bbox,
+            self.model_cfg.hash_grid,
+        )
+
+        @jax.jit
+        def train_step(state, opt_state, batch, key, tv_weight):
+            (loss, (psnr, img_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state, batch, key, tv_weight
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, state)
+            state = optax.apply_updates(state, updates)
+            return state, opt_state, {"loss": loss, "psnr": psnr, "img_loss": img_loss}
+
+        return train_step
+
+    def step(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, float]:
+        """One optimization step. batch: rays_o/rays_d/near/far/target
+        (+viewdirs, target_depth, target_grad)."""
+        self.key, k = jax.random.split(self.key)
+        tv_w = self.args.tv_loss_weight if self.global_step <= 1000 else 0.0
+        if "viewdirs" not in batch and self.render_cfg.use_viewdirs:
+            d = batch["rays_d"]
+            batch = dict(batch)
+            batch["viewdirs"] = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        self.state, self.opt_state, metrics = self._train_step(
+            self.state, self.opt_state, batch, k, jnp.float32(tv_w)
+        )
+        self.global_step += 1
+        return metrics
+
+    # ------------------------------------------------------------------ #
+    # Ray sampling (host-orchestrated, device-executed)
+    # ------------------------------------------------------------------ #
+    def build_ray_pool(self) -> jnp.ndarray:
+        """Shuffled [N*H*W, 3, 3] (o, d, rgb) pool over train images
+        (reference run_nerf.py:510-519)."""
+        sc = self.scene
+        rays = np.stack(
+            [get_rays_np(sc.H, sc.W, sc.K, p) for p in sc.poses[:, :3, :4]], 0
+        )  # (N, 2, H, W, 3)
+        rays_rgb = np.concatenate([rays, sc.images[:, None]], 1)
+        rays_rgb = np.transpose(rays_rgb, [0, 2, 3, 1, 4])
+        rays_rgb = np.stack([rays_rgb[i] for i in sc.i_train], 0)
+        rays_rgb = np.reshape(rays_rgb, [-1, 3, 3]).astype(np.float32)
+        np.random.shuffle(rays_rgb)
+        return jnp.asarray(rays_rgb)
+
+    def sample_pool(self, pool: jnp.ndarray, i_batch: int, n_rand: int):
+        batch = pool[i_batch : i_batch + n_rand]
+        return {
+            "rays_o": batch[:, 0],
+            "rays_d": batch[:, 1],
+            "target": batch[:, 2],
+            "near": jnp.full((batch.shape[0],), self.near, jnp.float32),
+            "far": jnp.full((batch.shape[0],), self.far, jnp.float32),
+        }
+
+    def sample_image(self, img_i: int, n_rand: int, precrop: bool):
+        """Random pixels from one image (reference run_nerf.py:577-605)."""
+        sc = self.scene
+        H, W = sc.H, sc.W
+        self.key, k = jax.random.split(self.key)
+        target = jnp.asarray(sc.images[img_i])
+        pose = jnp.asarray(sc.poses[img_i, :3, :4])
+        batch = _sample_image_rays(
+            target, pose, jnp.asarray(sc.K), H, W, n_rand, k, precrop,
+            float(self.args.precrop_frac),
+        )
+        batch["near"] = jnp.full((n_rand,), self.near, jnp.float32)
+        batch["far"] = jnp.full((n_rand,), self.far, jnp.float32)
+        return batch
+
+    # ------------------------------------------------------------------ #
+    # Eval / rendering
+    # ------------------------------------------------------------------ #
+    def render_image(self, c2w, H=None, W=None, K=None, chunk=None):
+        sc = self.scene
+        H, W, K = H or sc.H, W or sc.W, (K if K is not None else sc.K)
+        return render(
+            self.state, self.query_fn, H, W, K, self.bbox,
+            self.render_cfg.eval_mode(), chunk=chunk or self.args.chunk,
+            c2w=jnp.asarray(c2w)[:3, :4], near=self.near, far=self.far,
+        )
+
+    def render_test_path(self, poses, gt_imgs=None, savedir=None, render_factor=0):
+        sc = self.scene
+        return render_path(
+            self.state, self.query_fn, poses, [sc.H, sc.W, sc.focal], sc.K,
+            self.bbox, self.render_cfg, chunk=self.args.chunk,
+            near=self.near, far=self.far, gt_imgs=gt_imgs,
+            savedir=savedir, render_factor=render_factor,
+        )
+
+    # ------------------------------------------------------------------ #
+    # Checkpointing
+    # ------------------------------------------------------------------ #
+    def save(self, savepath: str):
+        save_checkpoint(savepath, self.global_step, self.state, self.opt_state)
+
+    def try_restore(self, savedir: str, ft_path: Optional[str] = None) -> bool:
+        loaded = load_latest_checkpoint(savedir, self.state, self.opt_state, ft_path)
+        if loaded is None:
+            return False
+        self.global_step, self.state, self.opt_state = loaded
+        return True
+
+
+@functools.partial(
+    jax.jit, static_argnames=("H", "W", "n_rand", "precrop", "precrop_frac")
+)
+def _sample_image_rays(target, pose, K, H, W, n_rand, key, precrop, precrop_frac):
+    """Pixel selection without replacement + ray generation, on device."""
+    from hashnerf_tpu.ops.rays import get_rays
+
+    rays_o, rays_d = get_rays(H, W, K, pose)
+    if precrop:
+        dH = int(H // 2 * precrop_frac)
+        dW = int(W // 2 * precrop_frac)
+        ys = jnp.arange(H // 2 - dH, H // 2 + dH)
+        xs = jnp.arange(W // 2 - dW, W // 2 + dW)
+    else:
+        ys = jnp.arange(H)
+        xs = jnp.arange(W)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    coords = jnp.stack([yy.reshape(-1), xx.reshape(-1)], -1)
+    sel = jax.random.choice(key, coords.shape[0], (n_rand,), replace=False)
+    sc = coords[sel]
+    return {
+        "rays_o": rays_o[sc[:, 0], sc[:, 1]],
+        "rays_d": rays_d[sc[:, 0], sc[:, 1]],
+        "target": target[sc[:, 0], sc[:, 1]],
+    }
+
+
+def train_loop(args, scene: Scene, n_iters: Optional[int] = None, log_fn=print):
+    """The standard training loop (reference run_nerf.py:503-721)."""
+    trainer = Trainer(args, scene)
+
+    basedir, expname = args.basedir, args.expname
+    savepath = os.path.join(basedir, expname)
+    os.makedirs(savepath, exist_ok=True)
+    trainer.try_restore(savepath, args.ft_path if not args.no_reload else None)
+
+    n_iters = n_iters or args.N_iters
+    use_batching = not args.no_batching
+    pool, i_batch = None, 0
+    if use_batching:
+        pool = trainer.build_ray_pool()
+
+    loss_list, psnr_list, time_list = [], [], []
+    start = trainer.global_step + 1
+    time0 = time.time()
+    np_rng = np.random.default_rng(0)
+
+    for i in range(start, n_iters + 1):
+        if use_batching:
+            batch = trainer.sample_pool(pool, i_batch, args.N_rand)
+            i_batch += args.N_rand
+            if i_batch >= pool.shape[0]:
+                trainer.key, k_perm = jax.random.split(trainer.key)
+                pool = pool[jax.random.permutation(k_perm, pool.shape[0])]
+                i_batch = 0
+        else:
+            img_i = int(np_rng.choice(scene.i_train))
+            batch = trainer.sample_image(img_i, args.N_rand, precrop=i < args.precrop_iters)
+
+        metrics = trainer.step(batch)
+
+        if i % args.i_weights == 0:
+            trainer.save(os.path.join(savepath, "{:06d}.ckpt".format(i)))
+            log_fn(f"Saved checkpoints at {savepath}")
+
+        if i % args.i_video == 0 and i > 0 and len(scene.render_poses) > 0:
+            rgbs, depths, _ = trainer.render_test_path(scene.render_poses)
+            from hashnerf_tpu.utils.io import save_video
+
+            moviebase = os.path.join(savepath, "{}_spiral_{:06d}_".format(expname, i))
+            save_video(moviebase + "rgb.mp4", rgbs)
+            save_video(moviebase + "disp.mp4", depths / max(np.max(depths), 1e-8))
+
+        if i % args.i_testset == 0 and i > 0 and len(scene.i_test) > 0:
+            testsavedir = os.path.join(savepath, "testset_{:06d}".format(i))
+            trainer.render_test_path(
+                scene.poses[scene.i_test], gt_imgs=scene.images[scene.i_test],
+                savedir=testsavedir,
+            )
+            log_fn(f"Saved test set to {testsavedir}")
+
+        if i % args.i_print == 0:
+            loss_v = float(metrics["loss"])
+            psnr_v = float(metrics["psnr"])
+            t = time.time() - time0
+            log_fn(f"[TRAIN] Iter: {i} Loss: {loss_v}  PSNR: {psnr_v}")
+            loss_list.append(loss_v)
+            psnr_list.append(psnr_v)
+            time_list.append(t)
+            from hashnerf_tpu.utils.io import save_loss_history
+
+            save_loss_history(savepath, loss_list, psnr_list, time_list)
+
+    return trainer

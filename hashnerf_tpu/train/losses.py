@@ -1,0 +1,82 @@
+"""Regularizers: hash-grid total variation and sigma sparsity.
+
+Capability parity: /root/reference/loss.py — total_variation_loss (:11-43,
+random-cuboid TV over each hash level) and sigma_sparsity_loss (:45-47,
+Cauchy; defined-but-unused upstream, provided for completeness). The entropy
+sparsity loss actually used in training lives in ops/volume.py (raw2outputs),
+matching the reference's wiring (run_nerf_helpers.py:622-626).
+
+TPU notes: per-level cube sizes are static (resolutions are static), so the
+random cuboid is a fixed-shape gather — jit-friendly; only min_vertex is
+random (explicit key).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hashnerf_tpu.ops.hashing import spatial_hash
+
+
+def _tv_level_geometry(min_resolution: int, max_resolution: int, level: int, n_levels: int):
+    b = math.exp((math.log(max_resolution) - math.log(min_resolution)) / (n_levels - 1))
+    resolution = int(math.floor(min_resolution * b**level))
+    min_cube_size = min_resolution - 1
+    max_cube_size = 50  # reference loss.py:18
+    cube_size = int(math.floor(min(max(resolution / 10.0, min_cube_size), max_cube_size)))
+    return resolution, cube_size
+
+
+@partial(jax.jit, static_argnames=("min_resolution", "max_resolution", "level", "log2_hashmap_size", "n_levels"))
+def total_variation_loss(
+    key: jax.Array,
+    embeddings: jnp.ndarray,  # (2^T, F) — one hash level
+    min_resolution: int,
+    max_resolution: int,
+    level: int,
+    log2_hashmap_size: int,
+    n_levels: int = 16,
+) -> jnp.ndarray:
+    """Squared forward-difference TV over a random cuboid of one level's grid."""
+    resolution, cube_size = _tv_level_geometry(min_resolution, max_resolution, level, n_levels)
+
+    min_vertex = jax.random.randint(key, (3,), 0, resolution - cube_size)
+    r = jnp.arange(cube_size + 1, dtype=jnp.int32)
+    idx = min_vertex[None, :] + r[:, None]  # (C+1, 3)
+    gx, gy, gz = jnp.meshgrid(idx[:, 0], idx[:, 1], idx[:, 2], indexing="ij")
+    cube_indices = jnp.stack([gx, gy, gz], axis=-1)  # (C+1, C+1, C+1, 3)
+
+    hashed = spatial_hash(cube_indices, log2_hashmap_size)
+    cube = embeddings[hashed]  # (C+1, C+1, C+1, F)
+
+    tv_x = jnp.sum((cube[1:, :, :, :] - cube[:-1, :, :, :]) ** 2)
+    tv_y = jnp.sum((cube[:, 1:, :, :] - cube[:, :-1, :, :]) ** 2)
+    tv_z = jnp.sum((cube[:, :, 1:, :] - cube[:, :, :-1, :]) ** 2)
+    return (tv_x + tv_y + tv_z) / cube_size
+
+
+def total_variation_loss_all_levels(
+    key: jax.Array,
+    table: jnp.ndarray,  # (L, 2^T, F)
+    min_resolution: int,
+    max_resolution: int,
+    log2_hashmap_size: int,
+) -> jnp.ndarray:
+    """Sum of per-level TV losses (reference run_nerf.py:632-635)."""
+    n_levels = table.shape[0]
+    keys = jax.random.split(key, n_levels)
+    total = jnp.zeros([], jnp.float32)
+    for l in range(n_levels):
+        total = total + total_variation_loss(
+            keys[l], table[l], min_resolution, max_resolution, l,
+            log2_hashmap_size, n_levels,
+        )
+    return total
+
+
+def sigma_sparsity_loss(sigmas: jnp.ndarray) -> jnp.ndarray:
+    """Cauchy sparsity on sigma (reference loss.py:45-47)."""
+    return jnp.sum(jnp.log(1.0 + 2.0 * sigmas**2), axis=-1)

@@ -1,0 +1,95 @@
+"""End-to-end: train on the procedural scene, PSNR must improve."""
+import argparse
+
+import numpy as np
+import jax
+import pytest
+
+from hashnerf_tpu.data.synthetic import make_synthetic_scene
+from hashnerf_tpu.train.config import config_parser
+from hashnerf_tpu.train.driver import Trainer
+
+
+def tiny_args(**overrides):
+    args = config_parser().parse_args([])
+    args.N_rand = 256
+    args.N_samples = 16
+    args.N_importance = 8
+    args.lrate = 0.01
+    args.lrate_decay = 10
+    args.use_viewdirs = True
+    args.finest_res = 64
+    args.log2_hashmap_size = 13
+    args.white_bkgd = True
+    args.no_batching = True
+    args.chunk = 4096
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_synthetic_scene(H=48, W=48, n_train=6, n_test=2)
+
+
+def test_training_improves_psnr(scene):
+    args = tiny_args()
+    trainer = Trainer(args, scene)
+    rng = np.random.default_rng(0)
+
+    psnrs = []
+    for i in range(60):
+        img_i = int(rng.choice(scene.i_train))
+        batch = trainer.sample_image(img_i, args.N_rand, precrop=False)
+        metrics = trainer.step(batch)
+        psnrs.append(float(metrics["psnr"]))
+        assert np.isfinite(psnrs[-1]), f"non-finite psnr at step {i}"
+
+    early = np.mean(psnrs[:10])
+    late = np.mean(psnrs[-10:])
+    assert late > early + 2.0, f"PSNR did not improve: {early:.2f} -> {late:.2f}"
+
+
+def test_eval_render_shapes(scene):
+    args = tiny_args()
+    trainer = Trainer(args, scene)
+    rgb, depth, acc, extras = trainer.render_image(scene.poses[scene.i_test[0]])
+    assert rgb.shape == (scene.H, scene.W, 3)
+    assert depth.shape == (scene.H, scene.W)
+    assert np.isfinite(np.asarray(rgb)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path, scene):
+    args = tiny_args()
+    trainer = Trainer(args, scene)
+    batch = trainer.sample_image(int(scene.i_train[0]), args.N_rand, precrop=False)
+    trainer.step(batch)
+    path = str(tmp_path / "000001.ckpt")
+    trainer.save(path)
+
+    trainer2 = Trainer(args, scene)
+    assert trainer2.try_restore(str(tmp_path))
+    assert trainer2.global_step == trainer.global_step
+    a = np.asarray(trainer.state.hash_table)
+    b = np.asarray(trainer2.state.hash_table)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_batching_pool_mode(scene):
+    args = tiny_args(no_batching=False)
+    trainer = Trainer(args, scene)
+    pool = trainer.build_ray_pool()
+    assert pool.shape[1:] == (3, 3)
+    batch = trainer.sample_pool(pool, 0, args.N_rand)
+    metrics = trainer.step(batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_precrop_sampling(scene):
+    args = tiny_args(precrop_iters=10)
+    trainer = Trainer(args, scene)
+    batch = trainer.sample_image(int(scene.i_train[0]), 64, precrop=True)
+    assert batch["rays_o"].shape == (64, 3)
+    metrics = trainer.step(batch)
+    assert np.isfinite(float(metrics["loss"]))
