@@ -1,0 +1,166 @@
+"""Loader tests against synthetic on-disk datasets."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hashnerf_tpu.data.synthetic import make_synthetic_scene
+from hashnerf_tpu.data.pose_paths import pose_spherical
+
+
+def _write_png(path, arr):
+    import imageio.v2 as imageio
+
+    imageio.imwrite(path, arr)
+
+
+@pytest.fixture(scope="module")
+def blender_dir(tmp_path_factory):
+    """Minimal blender-format dataset on disk."""
+    root = tmp_path_factory.mktemp("blender_scene")
+    H = W = 32
+    rng = np.random.default_rng(0)
+    for split, n in [("train", 3), ("val", 1), ("test", 2)]:
+        frames = []
+        os.makedirs(root / split, exist_ok=True)
+        for i in range(n):
+            img = (rng.uniform(0, 255, (H, W, 4))).astype(np.uint8)
+            _write_png(str(root / split / f"r_{i}.png"), img)
+            frames.append(
+                {
+                    "file_path": f"./{split}/r_{i}",
+                    "transform_matrix": pose_spherical(i * 40.0, -30.0, 4.0).tolist(),
+                }
+            )
+        with open(root / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.6911, "frames": frames}, f)
+    return str(root)
+
+
+def test_blender_loader(blender_dir):
+    from hashnerf_tpu.data.blender import load_blender_scene
+
+    sc = load_blender_scene(blender_dir, half_res=False, testskip=1, white_bkgd=True)
+    assert sc.images.shape == (6, 32, 32, 3)
+    assert sc.poses.shape == (6, 3, 4)
+    assert len(sc.i_train) == 3 and len(sc.i_test) == 2
+    assert sc.near == 2.0 and sc.far == 6.0
+    assert sc.render_poses.shape == (40, 4, 4)
+    bmin, bmax = sc.bounding_box
+    assert np.all(bmax > bmin)
+    assert sc.images.min() >= 0 and sc.images.max() <= 1
+
+
+def test_blender_half_res(blender_dir):
+    from hashnerf_tpu.data.blender import load_blender_scene
+
+    sc = load_blender_scene(blender_dir, half_res=True, testskip=1)
+    assert sc.images.shape[1:3] == (16, 16)
+    assert sc.K[0, 0] == pytest.approx(sc.focal)
+
+
+def test_llff_loader(tmp_path):
+    from hashnerf_tpu.data.llff import load_llff_scene
+
+    H, W, focal = 24, 32, 30.0
+    n = 6
+    rng = np.random.default_rng(1)
+    os.makedirs(tmp_path / "images")
+    for i in range(n):
+        _write_png(
+            str(tmp_path / "images" / f"img{i:03d}.png"),
+            rng.uniform(0, 255, (H, W, 3)).astype(np.uint8),
+        )
+    # poses_bounds: (N, 17) = 3x5 pose + 2 bounds; forward-facing cluster
+    poses = []
+    for i in range(n):
+        m = np.eye(4)[:3, :4].copy()
+        m[:, 3] = [0.05 * i, 0.02 * i, 0.01 * i]
+        # LLFF convention [down right back]: loader rotates; build an
+        # arbitrary-but-consistent matrix
+        hwf = np.array([H, W, focal]).reshape(3, 1)
+        poses.append(np.concatenate([m, hwf], 1).ravel())
+    arr = np.concatenate(
+        [np.stack(poses), np.tile([1.0, 10.0], (n, 1))], 1
+    )
+    np.save(str(tmp_path / "poses_bounds.npy"), arr)
+
+    sc = load_llff_scene(str(tmp_path), factor=1, llffhold=3)
+    assert sc.images.shape == (n, H, W, 3)
+    assert sc.ndc is True
+    assert sc.near == 0.0 and sc.far == 1.0
+    assert len(sc.i_test) == 2  # every 3rd
+    assert sc.render_poses.shape[0] == 120
+    bmin, bmax = sc.bounding_box
+    assert np.all(bmax > bmin)
+
+
+def test_llff_minify(tmp_path):
+    from hashnerf_tpu.data.llff import _minify
+
+    os.makedirs(tmp_path / "images")
+    rng = np.random.default_rng(2)
+    for i in range(2):
+        _write_png(
+            str(tmp_path / "images" / f"im{i}.png"),
+            rng.uniform(0, 255, (32, 48, 3)).astype(np.uint8),
+        )
+    d = _minify(str(tmp_path), 2)
+    import imageio.v2 as imageio
+
+    out = imageio.imread(os.path.join(d, "im0.png"))
+    assert out.shape[:2] == (16, 24)
+
+
+def test_ply_bounds_ascii(tmp_path):
+    from hashnerf_tpu.data.scannet import ply_vertex_bounds
+
+    ply = tmp_path / "mesh.ply"
+    ply.write_bytes(
+        b"ply\nformat ascii 1.0\nelement vertex 3\n"
+        b"property float x\nproperty float y\nproperty float z\n"
+        b"element face 0\nproperty list uchar int vertex_indices\nend_header\n"
+        b"0.0 1.0 2.0\n-1.0 5.0 0.5\n3.0 -2.0 1.0\n"
+    )
+    vmin, vmax = ply_vertex_bounds(str(ply))
+    np.testing.assert_allclose(vmin, [-1.0, -2.0, 0.5])
+    np.testing.assert_allclose(vmax, [3.0, 5.0, 2.0])
+
+
+def test_ply_bounds_binary(tmp_path):
+    import struct
+
+    from hashnerf_tpu.data.scannet import ply_vertex_bounds
+
+    verts = [(0.0, 1.0, 2.0, 255, 0, 0), (-1.0, 5.0, 0.5, 0, 255, 0)]
+    header = (
+        b"ply\nformat binary_little_endian 1.0\nelement vertex 2\n"
+        b"property float x\nproperty float y\nproperty float z\n"
+        b"property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        b"end_header\n"
+    )
+    body = b"".join(struct.pack("<fffBBB", *v) for v in verts)
+    ply = tmp_path / "mesh.ply"
+    ply.write_bytes(header + body)
+    vmin, vmax = ply_vertex_bounds(str(ply))
+    np.testing.assert_allclose(vmin, [-1.0, 1.0, 0.5])
+    np.testing.assert_allclose(vmax, [0.0, 5.0, 2.0])
+
+
+def test_synthetic_scene_renders_consistently():
+    sc = make_synthetic_scene(H=32, W=32, n_train=4, n_test=2)
+    assert sc.images.shape[0] == 7
+    # sphere visible: some non-white pixels in every image
+    assert all((sc.images[i] < 0.95).any() for i in range(7))
+    # background white
+    assert all((sc.images[i] > 0.95).any() for i in range(7))
+
+
+def test_equirect_directions_unit_norm():
+    from hashnerf_tpu.ops.rays import equirect_directions
+
+    d = equirect_directions(64, 128)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    # top row points up (+y), matching theta=+pi/2 at x=0
+    assert d[0, :, 1].mean() > 0.99
