@@ -1,0 +1,39 @@
+"""Row gather with a fast-scatter backward (custom VJP).
+
+`take_rows(table, idx)` == `table[idx]` forward; the backward routes the
+row-gradient accumulation through kernels.segment_scatter instead of XLA's
+slow scatter-add. Used by the TV regularizer (loss gathers ~2M hash rows per
+level set) and anywhere else table rows are gathered under grad.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hashnerf_tpu.kernels.segment_scatter import sorted_segment_accumulate, SPAN
+
+
+@jax.custom_vjp
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table: (T, F); idx: int32 (...,) -> (..., F)."""
+    return jnp.take(table, idx, axis=0)
+
+
+def _fwd(table, idx):
+    return jnp.take(table, idx, axis=0), (table.shape, idx)
+
+
+def _bwd(res, g):
+    (T, F), idx = res
+    if T % SPAN == 0:
+        d_table = sorted_segment_accumulate(
+            idx.reshape(-1), g.reshape(-1, F), num_rows=T
+        )
+    else:  # odd table sizes fall back to XLA scatter
+        d_table = jnp.zeros((T, F), g.dtype).at[idx.reshape(-1)].add(g.reshape(-1, F))
+    return d_table, None
+
+
+take_rows.defvjp(_fwd, _bwd)

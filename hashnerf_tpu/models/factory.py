@@ -61,6 +61,9 @@ class ModelConfig:
     sh_degree: int = 4
     hash_grid: HashGridConfig = dataclasses.field(default_factory=HashGridConfig)
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for MXU-friendly MLPs
+    # Fast table-gradient path (sort + Pallas one-hot accumulation instead of
+    # XLA scatter-add; ~5x faster backward on TPU). None = auto: on for TPU.
+    fast_hash_grad: Optional[bool] = None
 
     @property
     def _compute_dtype(self):
@@ -86,6 +89,15 @@ def _point_encoder(cfg: ModelConfig) -> Tuple[Callable, int]:
         ), pcfg.out_dim
     if cfg.i_embed == EMBED_HASH:
         hcfg = cfg.hash_grid
+        fast = cfg.fast_hash_grad
+        if fast is None:
+            fast = jax.default_backend() == "tpu"
+        if fast:
+            from hashnerf_tpu.kernels.hash_encode_vjp import hash_encode_fast
+
+            return (
+                lambda state, x, bb: hash_encode_fast(state.hash_table, x, bb[0], bb[1], hcfg)
+            ), hcfg.out_dim
         return (
             lambda state, x, bb: hash_encode(state.hash_table, x, bb[0], bb[1], hcfg)
         ), hcfg.out_dim

@@ -98,13 +98,21 @@ def make_optimizer(args, state: NGPState) -> optax.GradientTransformation:
     return optax.adam(sched, b1=0.9, b2=0.999)
 
 
-def make_loss_fn(args, render_cfg: RenderConfig, query_fn, bbox, hcfg: HashGridConfig):
+def make_loss_fn(
+    args, render_cfg: RenderConfig, query_fn, bbox, hcfg: HashGridConfig,
+    with_tv: bool = True,
+):
     """Build the full training loss (image + coarse + sparsity + TV).
+
+    `with_tv` is STATIC: the reference hard-zeroes the TV weight after iter
+    1000 (run_nerf.py:637-638) — compiling a TV-free variant skips the ~2M-row
+    hash gather/scatter entirely for the remaining 98% of training instead of
+    multiplying it by 0.
 
     Shared by the single-chip Trainer and the sharded multi-chip step
     (hashnerf_tpu.parallel.train_sharded)."""
     cfg = render_cfg
-    use_hash = args.i_embed == EMBED_HASH
+    use_hash = (args.i_embed == EMBED_HASH) and with_tv
     sparse_w = args.sparse_loss_weight
     use_depth = getattr(args, "use_depth", False)
     use_gradient = getattr(args, "use_gradient", False)
@@ -185,32 +193,43 @@ class Trainer:
     # ------------------------------------------------------------------ #
     def _build_train_step(self):
         optimizer = self.optimizer
-        loss_fn = make_loss_fn(
-            self.args, self.render_cfg, self.query_fn, self.bbox,
-            self.model_cfg.hash_grid,
-        )
 
-        @jax.jit
-        def train_step(state, opt_state, batch, key, tv_weight):
-            (loss, (psnr, img_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state, batch, key, tv_weight
+        def build(with_tv: bool):
+            loss_fn = make_loss_fn(
+                self.args, self.render_cfg, self.query_fn, self.bbox,
+                self.model_cfg.hash_grid, with_tv=with_tv,
             )
-            updates, opt_state = optimizer.update(grads, opt_state, state)
-            state = optax.apply_updates(state, updates)
-            return state, opt_state, {"loss": loss, "psnr": psnr, "img_loss": img_loss}
 
-        return train_step
+            @jax.jit
+            def train_step(state, opt_state, batch, key, tv_weight):
+                (loss, (psnr, img_loss)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state, batch, key, tv_weight)
+                updates, opt_state = optimizer.update(grads, opt_state, state)
+                state = optax.apply_updates(state, updates)
+                return state, opt_state, {
+                    "loss": loss, "psnr": psnr, "img_loss": img_loss
+                }
+
+            return train_step
+
+        self._train_step_tv = build(True)
+        self._train_step_no_tv = build(False)
+        return self._train_step_tv
 
     def step(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, float]:
         """One optimization step. batch: rays_o/rays_d/near/far/target
         (+viewdirs, target_depth, target_grad)."""
         self.key, k = jax.random.split(self.key)
+        # Warmup-only TV (reference run_nerf.py:637-638); the TV-free variant
+        # compiles the regularizer away entirely.
         tv_w = self.args.tv_loss_weight if self.global_step <= 1000 else 0.0
+        step_fn = self._train_step_tv if tv_w > 0 else self._train_step_no_tv
         if "viewdirs" not in batch and self.render_cfg.use_viewdirs:
             d = batch["rays_d"]
             batch = dict(batch)
             batch["viewdirs"] = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        self.state, self.opt_state, metrics = self._train_step(
+        self.state, self.opt_state, metrics = step_fn(
             self.state, self.opt_state, batch, k, jnp.float32(tv_w)
         )
         self.global_step += 1
@@ -221,17 +240,15 @@ class Trainer:
     # ------------------------------------------------------------------ #
     def build_ray_pool(self) -> jnp.ndarray:
         """Shuffled [N*H*W, 3, 3] (o, d, rgb) pool over train images
-        (reference run_nerf.py:510-519)."""
+        (reference run_nerf.py:510-519), built by the native C++ data path
+        (hashnerf_tpu/native/raypool.cpp) when available."""
+        from hashnerf_tpu import native
+
         sc = self.scene
-        rays = np.stack(
-            [get_rays_np(sc.H, sc.W, sc.K, p) for p in sc.poses[:, :3, :4]], 0
-        )  # (N, 2, H, W, 3)
-        rays_rgb = np.concatenate([rays, sc.images[:, None]], 1)
-        rays_rgb = np.transpose(rays_rgb, [0, 2, 3, 1, 4])
-        rays_rgb = np.stack([rays_rgb[i] for i in sc.i_train], 0)
-        rays_rgb = np.reshape(rays_rgb, [-1, 3, 3]).astype(np.float32)
-        np.random.shuffle(rays_rgb)
-        return jnp.asarray(rays_rgb)
+        pool = native.build_ray_pool(
+            sc.poses[sc.i_train], sc.images[sc.i_train], sc.K, seed=0, shuffle=True
+        )
+        return jnp.asarray(pool)
 
     def sample_pool(self, pool: jnp.ndarray, i_batch: int, n_rand: int):
         batch = pool[i_batch : i_batch + n_rand]

@@ -65,15 +65,45 @@ def total_variation_loss_all_levels(
     max_resolution: int,
     log2_hashmap_size: int,
 ) -> jnp.ndarray:
-    """Sum of per-level TV losses (reference run_nerf.py:632-635)."""
-    n_levels = table.shape[0]
+    """Sum of per-level TV losses (reference run_nerf.py:632-635).
+
+    All levels' cube lookups are CONCATENATED into one gather on the flat
+    (L*2^T, F) table so the backward is a single fast sort+accumulate pass
+    (kernels.gather_vjp.take_rows) instead of L separate scatters.
+    """
+    from hashnerf_tpu.kernels.gather_vjp import take_rows
+
+    n_levels, T, F = table.shape
     keys = jax.random.split(key, n_levels)
-    total = jnp.zeros([], jnp.float32)
+
+    flat_parts = []
+    shapes = []
     for l in range(n_levels):
-        total = total + total_variation_loss(
-            keys[l], table[l], min_resolution, max_resolution, l,
-            log2_hashmap_size, n_levels,
+        resolution, cube_size = _tv_level_geometry(
+            min_resolution, max_resolution, l, n_levels
         )
+        min_vertex = jax.random.randint(keys[l], (3,), 0, resolution - cube_size)
+        r = jnp.arange(cube_size + 1, dtype=jnp.int32)
+        idx = min_vertex[None, :] + r[:, None]
+        gx, gy, gz = jnp.meshgrid(idx[:, 0], idx[:, 1], idx[:, 2], indexing="ij")
+        cube_indices = jnp.stack([gx, gy, gz], axis=-1)
+        hashed = spatial_hash(cube_indices, log2_hashmap_size) + l * T
+        flat_parts.append(hashed.reshape(-1))
+        shapes.append((cube_size + 1, cube_size))
+
+    all_idx = jnp.concatenate(flat_parts)
+    all_rows = take_rows(table.reshape(n_levels * T, F), all_idx)
+
+    total = jnp.zeros([], jnp.float32)
+    off = 0
+    for (c1, cube_size) in shapes:
+        n = c1 * c1 * c1
+        cube = all_rows[off : off + n].reshape(c1, c1, c1, F)
+        off += n
+        tv_x = jnp.sum((cube[1:, :, :, :] - cube[:-1, :, :, :]) ** 2)
+        tv_y = jnp.sum((cube[:, 1:, :, :] - cube[:, :-1, :, :]) ** 2)
+        tv_z = jnp.sum((cube[:, :, 1:, :] - cube[:, :, :-1, :]) ** 2)
+        total = total + (tv_x + tv_y + tv_z) / cube_size
     return total
 
 

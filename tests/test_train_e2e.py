@@ -93,3 +93,23 @@ def test_precrop_sampling(scene):
     assert batch["rays_o"].shape == (64, 3)
     metrics = trainer.step(batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_tv_all_levels_matches_per_level():
+    import jax
+    import jax.numpy as jnp
+    from hashnerf_tpu.train.losses import (
+        total_variation_loss,
+        total_variation_loss_all_levels,
+    )
+
+    key = jax.random.PRNGKey(5)
+    L, T, F = 4, 1 << 12, 2
+    table = jax.random.normal(jax.random.PRNGKey(1), (L, T, F)) * 0.01
+    got = float(total_variation_loss_all_levels(key, table, 16, 64, 12))
+    keys = jax.random.split(key, L)
+    want = sum(
+        float(total_variation_loss(keys[l], table[l], 16, 64, l, 12, L))
+        for l in range(L)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
