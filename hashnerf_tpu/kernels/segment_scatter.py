@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Window of table rows accumulated per grid step, and sorted-entry chunk size.
 SPAN = 1024
-CHUNK = 1024
+CHUNK = 2048
 
 
 def _window_kernel(offs_ref, idx_hbm, vals_hbm, out_ref, idx_vmem, vals_vmem,

@@ -158,6 +158,30 @@ def apply_nerf(params, x: jnp.ndarray, cfg: NeRFConfig, compute_dtype=None):
     return _linear(params["output_linear"], h, compute_dtype)
 
 
+def load_nerf_weights_from_keras(weights, cfg: NeRFConfig):
+    """Build a NeRF param pytree from the original TF-NeRF Keras weight list
+    (reference models.py:65-92 load_weights_from_keras). The Keras list
+    alternates [W, b] per layer in the order pts_linears, feature_linear,
+    views_linears[0], rgb_linear, alpha_linear; Keras stores W as (in, out),
+    which matches our layout directly (torch needed transposes)."""
+    if not cfg.use_viewdirs:
+        raise NotImplementedError("Keras import requires use_viewdirs=True")
+    import numpy as _np
+
+    def lin(i):
+        return {
+            "w": jnp.asarray(_np.asarray(weights[i]), jnp.float32),
+            "b": jnp.asarray(_np.asarray(weights[i + 1]).reshape(-1), jnp.float32),
+        }
+
+    params = {"pts_linears": [lin(2 * i) for i in range(cfg.D)]}
+    params["feature_linear"] = lin(2 * cfg.D)
+    params["views_linears"] = [lin(2 * cfg.D + 2)]
+    params["rgb_linear"] = lin(2 * cfg.D + 4)
+    params["alpha_linear"] = lin(2 * cfg.D + 6)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # NeRFGradient — extra 3-ch gradient head (reference models.py:177-213).
 # ---------------------------------------------------------------------------

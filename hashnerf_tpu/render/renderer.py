@@ -32,6 +32,8 @@ class RenderConfig:
     ndc: bool = False
     use_viewdirs: bool = True
     retraw: bool = False
+    # Occupancy-grid sample culling (None = reference-exact full evaluation).
+    occupancy: Optional["OccupancyConfig"] = None
 
     def eval_mode(self) -> "RenderConfig":
         """perturb off, noise off (reference run_nerf_helpers.py:196-198)."""
@@ -49,16 +51,33 @@ def render_rays(
     bbox: jnp.ndarray,
     key: Optional[jax.Array],
     cfg: RenderConfig,
+    occ_grid: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Core per-batch ray march (reference run_nerf_helpers.py:464-574).
 
     rays_o/rays_d: (R, 3); near/far: (R,) or scalar; bbox: (2, 3).
     Returns dict of maps; coarse-pass outputs keyed rgb0/depth0/acc0/... when
-    hierarchical sampling is on.
+    hierarchical sampling is on. When cfg.occupancy and occ_grid are set,
+    empty-space samples are culled before the network query.
     """
     R = rays_o.shape[0]
     near = jnp.broadcast_to(jnp.asarray(near, rays_o.dtype), (R,))
     far = jnp.broadcast_to(jnp.asarray(far, rays_o.dtype), (R,))
+
+    if cfg.occupancy is not None and occ_grid is not None:
+        from hashnerf_tpu.render.occupancy import query_with_culling
+
+        kf = cfg.occupancy.keep_fraction
+
+        def run_query(st, p, vd, bb, fine):
+            n = p.shape[0] * p.shape[1]
+            keep_k = min(n, -(-int(n * kf) // 128) * 128)
+            return query_with_culling(
+                query_fn, st, p, vd, bb, occ_grid, cfg.occupancy, keep_k, fine=fine
+            )
+    else:
+        def run_query(st, p, vd, bb, fine):
+            return query_fn(st, p, vd, bb, fine=fine)
 
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -69,7 +88,7 @@ def render_rays(
         z_vals = perturb_z_vals(k_strat, z_vals)
 
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    raw = query_fn(state, pts, viewdirs, bbox, fine=False)
+    raw = run_query(state, pts, viewdirs, bbox, fine=False)
     out = raw2outputs(
         raw, z_vals, rays_d, cfg.raw_noise_std, cfg.white_bkgd, noise_key=k_noise0
     )
@@ -91,7 +110,7 @@ def render_rays(
         z_samples = jax.lax.stop_gradient(z_samples)
         z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        raw = query_fn(state, pts, viewdirs, bbox, fine=True)
+        raw = run_query(state, pts, viewdirs, bbox, fine=True)
         out = raw2outputs(
             raw, z_vals, rays_d, cfg.raw_noise_std, cfg.white_bkgd, noise_key=k_noise1
         )

@@ -110,6 +110,12 @@ def config_parser() -> argparse.ArgumentParser:
     # TPU-native extensions (not in the reference)
     parser.add_argument("--compute_dtype", type=str, default=None,
                         help="bfloat16 for MXU-friendly MLP compute")
+    parser.add_argument("--use_occupancy", action="store_true",
+                        help="Instant-NGP-style occupancy-grid sample culling")
+    parser.add_argument("--occ_resolution", type=int, default=128)
+    parser.add_argument("--occ_keep_fraction", type=float, default=0.5)
+    parser.add_argument("--occ_update_every", type=int, default=16)
+    parser.add_argument("--occ_warmup", type=int, default=256)
     parser.add_argument("--num_devices", type=int, default=0,
                         help="shard rays over this many devices (0 = all)")
     parser.add_argument("--use_pallas", action="store_true",

@@ -55,6 +55,16 @@ def model_config_from_args(args) -> ModelConfig:
 
 
 def render_config_from_args(args, ndc: bool = False, lindisp: bool = False) -> RenderConfig:
+    occupancy = None
+    if getattr(args, "use_occupancy", False):
+        from hashnerf_tpu.render.occupancy import OccupancyConfig
+
+        occupancy = OccupancyConfig(
+            resolution=getattr(args, "occ_resolution", 128),
+            keep_fraction=getattr(args, "occ_keep_fraction", 0.5),
+            update_every=getattr(args, "occ_update_every", 16),
+            warmup_steps=getattr(args, "occ_warmup", 256),
+        )
     return RenderConfig(
         N_samples=args.N_samples,
         N_importance=args.N_importance,
@@ -64,6 +74,7 @@ def render_config_from_args(args, ndc: bool = False, lindisp: bool = False) -> R
         lindisp=lindisp,
         ndc=ndc,
         use_viewdirs=args.use_viewdirs,
+        occupancy=occupancy,
     )
 
 
@@ -117,12 +128,13 @@ def make_loss_fn(
     use_depth = getattr(args, "use_depth", False)
     use_gradient = getattr(args, "use_gradient", False)
 
-    def loss_fn(state, batch, key, tv_weight):
+    def loss_fn(state, batch, key, tv_weight, occ_grid=None):
         k_render, k_tv = jax.random.split(key)
         ret = render_rays(
             state, query_fn,
             batch["rays_o"], batch["rays_d"], batch.get("viewdirs"),
             batch["near"], batch["far"], bbox, k_render, cfg,
+            occ_grid=occ_grid,
         )
         img_loss = img2mse(ret["rgb_map"], batch["target"])
         loss = img_loss
@@ -201,10 +213,10 @@ class Trainer:
             )
 
             @jax.jit
-            def train_step(state, opt_state, batch, key, tv_weight):
+            def train_step(state, opt_state, batch, key, tv_weight, occ_grid=None):
                 (loss, (psnr, img_loss)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
-                )(state, batch, key, tv_weight)
+                )(state, batch, key, tv_weight, occ_grid)
                 updates, opt_state = optimizer.update(grads, opt_state, state)
                 state = optax.apply_updates(state, updates)
                 return state, opt_state, {
@@ -215,7 +227,42 @@ class Trainer:
 
         self._train_step_tv = build(True)
         self._train_step_no_tv = build(False)
+        self._init_occupancy()
         return self._train_step_tv
+
+    def _init_occupancy(self):
+        """Occupancy grid state + jitted updater (opt-in via --use_occupancy)."""
+        self.occ_grid = None
+        occ_cfg = self.render_cfg.occupancy
+        if occ_cfg is None:
+            return
+        from hashnerf_tpu.render.occupancy import init_occupancy_grid
+
+        self.occ_grid = init_occupancy_grid(occ_cfg)
+        query_fn = self.query_fn
+        bbox = self.bbox
+        use_dirs = self.render_cfg.use_viewdirs
+        fine = self.render_cfg.N_importance > 0
+        R = occ_cfg.resolution
+
+        def occ_update(grid, key, state):
+            k_cell, k_jit = jax.random.split(key)
+            cells = jax.random.randint(k_cell, (occ_cfg.n_update_samples,), 0, occ_cfg.n_cells)
+            ijk = jnp.stack(
+                [cells // (R * R), (cells // R) % R, cells % R], axis=-1
+            ).astype(jnp.float32)
+            u = jax.random.uniform(k_jit, (occ_cfg.n_update_samples, 3))
+            rel = (ijk + u) / R
+            pts = bbox[0] + rel * (bbox[1] - bbox[0])
+            dirs = (
+                jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (pts.shape[0], 3))
+                if use_dirs else None
+            )
+            raw = query_fn(state, pts[:, None, :], dirs, bbox, fine=fine)
+            sigma = jax.nn.relu(raw[:, 0, 3])
+            return (grid * occ_cfg.ema_decay).at[cells].max(sigma)
+
+        self._occ_update = jax.jit(occ_update)
 
     def step(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, float]:
         """One optimization step. batch: rays_o/rays_d/near/far/target
@@ -229,10 +276,21 @@ class Trainer:
             d = batch["rays_d"]
             batch = dict(batch)
             batch["viewdirs"] = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+        occ_cfg = self.render_cfg.occupancy
+        occ_active = (
+            occ_cfg is not None and self.global_step >= occ_cfg.warmup_steps
+        )
+        occ_arg = self.occ_grid if occ_active else None
+
         self.state, self.opt_state, metrics = step_fn(
-            self.state, self.opt_state, batch, k, jnp.float32(tv_w)
+            self.state, self.opt_state, batch, k, jnp.float32(tv_w), occ_arg
         )
         self.global_step += 1
+
+        if occ_cfg is not None and self.global_step % occ_cfg.update_every == 0:
+            self.key, ku = jax.random.split(self.key)
+            self.occ_grid = self._occ_update(self.occ_grid, ku, self.state)
         return metrics
 
     # ------------------------------------------------------------------ #

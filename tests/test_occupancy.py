@@ -1,0 +1,103 @@
+"""Occupancy-grid culling: correctness vs full evaluation + e2e training."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hashnerf_tpu.render.occupancy import (
+    OccupancyConfig,
+    init_occupancy_grid,
+    occupancy_lookup,
+    cull_points,
+    query_with_culling,
+)
+from hashnerf_tpu.models.factory import ModelConfig, create_model
+from hashnerf_tpu.ops.hash_encoding import HashGridConfig
+from hashnerf_tpu.data.synthetic import make_synthetic_scene
+from hashnerf_tpu.train.driver import Trainer
+from tests.test_train_e2e import tiny_args
+
+
+def test_lookup_cell_mapping():
+    cfg = OccupancyConfig(resolution=4)
+    grid = jnp.zeros((64,))
+    # mark cell (1, 2, 3) occupied: index (1*4+2)*4+3 = 27
+    grid = grid.at[27].set(1.0)
+    bbox = jnp.array([[0.0, 0.0, 0.0], [4.0, 4.0, 4.0]])
+    pts = jnp.array([[1.5, 2.5, 3.5], [0.5, 0.5, 0.5]])
+    occ = occupancy_lookup(grid, pts, bbox, cfg)
+    assert bool(occ[0]) and not bool(occ[1])
+
+
+def test_cull_points_partition():
+    occ = jnp.array([False, True, False, True, True])
+    kept, inv = cull_points(occ, 3)
+    np.testing.assert_array_equal(np.asarray(kept), [1, 3, 4])
+    # inv un-permutes: order = [1,3,4,0,2]; inv[order[j]] == j
+    order = np.array([1, 3, 4, 0, 2])
+    np.testing.assert_array_equal(np.asarray(inv)[order], np.arange(5))
+
+
+def test_query_with_culling_matches_full_when_all_occupied():
+    mcfg = ModelConfig(
+        hash_grid=HashGridConfig(n_levels=2, log2_hashmap_size=10, finest_resolution=32),
+        fast_hash_grad=False,
+    )
+    state, query_fn = create_model(jax.random.PRNGKey(0), mcfg)
+    bbox = jnp.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    cfg = OccupancyConfig(resolution=8)
+    grid = jnp.ones((cfg.n_cells,))  # fully occupied
+
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 3), minval=-1, maxval=1)
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (4, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    full = query_fn(state, pts, dirs, bbox, fine=False)
+    culled = query_with_culling(query_fn, state, pts, dirs, bbox, grid, cfg, 32)
+    np.testing.assert_allclose(np.asarray(culled), np.asarray(full), rtol=1e-5, atol=1e-6)
+
+
+def test_query_with_culling_zeroes_empty_cells():
+    mcfg = ModelConfig(
+        hash_grid=HashGridConfig(n_levels=2, log2_hashmap_size=10, finest_resolution=32),
+        fast_hash_grad=False,
+    )
+    state, query_fn = create_model(jax.random.PRNGKey(0), mcfg)
+    bbox = jnp.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    cfg = OccupancyConfig(resolution=2)
+    # only the (0,0,0) octant occupied
+    grid = jnp.zeros((8,)).at[0].set(1.0)
+
+    pts = jnp.stack(
+        [jnp.full((6, 3), -0.5), jnp.full((6, 3), 0.5)], axis=0
+    )  # ray 0 inside occupied octant, ray 1 in empty octant
+    dirs = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (2, 1))
+    out = query_with_culling(query_fn, state, pts, dirs, bbox, grid, cfg, 6)
+    # empty-octant raw fully zero
+    np.testing.assert_allclose(np.asarray(out[1]), 0.0, atol=0)
+    # occupied-octant matches full query
+    full = query_fn(state, pts[:1], dirs[:1], bbox, fine=False)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(full[0]), rtol=1e-5, atol=1e-6)
+
+
+def test_occupancy_training_improves_psnr():
+    scene = make_synthetic_scene(H=48, W=48, n_train=6, n_test=2)
+    args = tiny_args(use_occupancy=True, occ_resolution=32, occ_update_every=4, occ_warmup=8)
+    trainer = Trainer(args, scene)
+    assert trainer.occ_grid is not None
+    rng = np.random.default_rng(0)
+
+    psnrs = []
+    for i in range(50):
+        img_i = int(rng.choice(scene.i_train))
+        batch = trainer.sample_image(img_i, args.N_rand, precrop=False)
+        m = trainer.step(batch)
+        psnrs.append(float(m["psnr"]))
+        assert np.isfinite(psnrs[-1])
+
+    assert np.mean(psnrs[-10:]) > np.mean(psnrs[:10]) + 1.5
+    # the update loop populated the grid from the live field
+    assert float(jnp.max(trainer.occ_grid)) > 0.0
+    # EMA mechanism: an artificially hot cell decays when not refreshed above
+    hot = trainer.occ_grid.at[0].set(1e6)
+    updated = trainer._occ_update(hot, jax.random.PRNGKey(0), trainer.state)
+    assert float(updated[0]) < 1e6
