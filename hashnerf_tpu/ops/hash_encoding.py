@@ -114,10 +114,24 @@ def hash_encode(
     Returns (features (N, L*F), keep_mask (N,)) — keep_mask marks points that
     were inside the bbox before clipping (reference hash_encoding.py:66-69,109).
     """
-    L = cfg.n_levels
-    F = cfg.n_features_per_level
-    T = cfg.table_size
     resolutions = jnp.asarray(np.array(cfg.resolutions, dtype=np.float32))  # (L,)
+    return encode_with_resolutions(
+        table, x, bbox_min, bbox_max, resolutions, cfg.log2_hashmap_size
+    )
+
+
+def encode_with_resolutions(
+    table: jnp.ndarray,  # (L, 2^T, F) — possibly a per-device level shard
+    x: jnp.ndarray,
+    bbox_min: jnp.ndarray,
+    bbox_max: jnp.ndarray,
+    resolutions: jnp.ndarray,  # (L,) float32, may be TRACED (sharded path)
+    log2_hashmap_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """hash_encode body with resolutions as data — shapes depend only on the
+    table shard's shape, so the level axis can be sharded over a mesh
+    (parallel/table_sharded.py) with per-device resolution slices."""
+    L, T, F = table.shape
 
     bbox_min = bbox_min.astype(x.dtype)
     bbox_max = bbox_max.astype(x.dtype)
@@ -136,7 +150,7 @@ def hash_encode(
     w = (xc[None, :, :] - minv) / grid  # (L, N, 3)
 
     corners = bl[:, :, None, :] + jnp.asarray(BOX_OFFSETS)[None, None, :, :]  # (L,N,8,3)
-    idx = spatial_hash(corners, cfg.log2_hashmap_size)  # (L, N, 8) int32
+    idx = spatial_hash(corners, log2_hashmap_size)  # (L, N, 8) int32
 
     # One flat gather across all levels: index into (L*2^T, F).
     level_offset = (jnp.arange(L, dtype=jnp.int32) * T)[:, None, None]

@@ -136,14 +136,17 @@ def query_with_culling(
     C = raw_kept.shape[-1]
 
     # permuted layout: first K rows = kept raws, the rest zeros; un-permute
-    # with a take (no scatter).
+    # with a take (no scatter). Routed through take_rows so the BACKWARD of
+    # this permutation also avoids XLA's slow scatter.
     n = flat.shape[0]
     raw_perm = jnp.concatenate(
         [raw_kept, jnp.zeros((n - keep_k, C), raw_kept.dtype)], axis=0
     )
     # row j of raw_perm corresponds to original point order[j]; original point
     # i lives at permuted position inv_perm[i].
-    raw = jnp.take(raw_perm, inv_perm, axis=0)
+    from hashnerf_tpu.kernels.gather_vjp import take_rows
+
+    raw = take_rows(raw_perm, inv_perm)
     # safety: a kept-but-unoccupied pad point (when occupied < K) is fine (its
     # true sigma), but an occupied point beyond the K budget must read as
     # empty: that is already the zeros tail.

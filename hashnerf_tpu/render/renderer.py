@@ -220,6 +220,11 @@ def render(
     for k in out:
         out[k] = out[k].reshape(sh[:-1] + out[k].shape[1:])
 
+    from hashnerf_tpu.utils.debug import debug_enabled, check_finite
+
+    if debug_enabled():
+        check_finite(out, where="render:")
+
     extract = ["rgb_map", "depth_map", "acc_map"]
     extras = {k: v for k, v in out.items() if k not in extract}
     return out["rgb_map"], out["depth_map"], out["acc_map"], extras

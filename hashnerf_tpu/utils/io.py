@@ -48,9 +48,15 @@ def save_psnr_pickle(savedir: str, psnrs: Sequence[float]) -> None:
 
 
 def save_video(path: str, frames: np.ndarray, fps: int = 30, quality: int = 8) -> None:
+    """mp4 via imageio-ffmpeg; falls back to an animated gif when no ffmpeg
+    plugin is available (keeps render-only artifacts usable everywhere)."""
     import imageio
 
-    imageio.mimwrite(path, to8b(frames), fps=fps, quality=quality)
+    try:
+        imageio.mimwrite(path, to8b(frames), fps=fps, quality=quality)
+    except Exception:
+        gif_path = os.path.splitext(path)[0] + ".gif"
+        imageio.mimwrite(gif_path, to8b(frames), fps=min(fps, 24))
 
 
 def save_gif(path: str, frames: np.ndarray, fps: int = 10) -> None:

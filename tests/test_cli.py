@@ -1,0 +1,73 @@
+"""CLI end-to-end: train a few iters, resume, render-only (tiny, CPU)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    basedir = tmp_path_factory.mktemp("logs")
+    argv = [
+        "--expname", "cli_smoke",
+        "--basedir", str(basedir),
+        "--dataset_type", "synthetic",
+        "--N_rand", "128",
+        "--N_samples", "8",
+        "--N_importance", "4",
+        "--N_iters", "6",
+        "--lrate", "0.01",
+        "--use_viewdirs",
+        "--white_bkgd",
+        "--no_batching",
+        "--finest_res", "32",
+        "--log2_hashmap_size", "10",
+        "--i_print", "2",
+        "--i_weights", "6",
+        "--i_testset", "100000",
+        "--i_video", "100000",
+        "--chunk", "2048",
+        "--render_factor", "4",
+    ]
+    return basedir, argv
+
+
+def test_cli_train_creates_artifacts(cli_env):
+    import run_nerf
+
+    basedir, argv = cli_env
+    run_nerf.main(argv)
+    expdirs = os.listdir(basedir)
+    assert len(expdirs) == 1
+    exp = os.path.join(basedir, expdirs[0])
+    files = os.listdir(exp)
+    assert "args.txt" in files
+    assert "loss_vs_time.pkl" in files
+    assert any(f.endswith(".ckpt") for f in files)
+
+
+def test_cli_resume_continues(cli_env):
+    """Re-running with a higher N_iters resumes from the checkpoint."""
+    import run_nerf
+
+    basedir, argv = cli_env
+    argv2 = list(argv)
+    argv2[argv2.index("--N_iters") + 1] = "8"
+    run_nerf.main(argv2)
+    exp = os.path.join(basedir, os.listdir(basedir)[0])
+    ckpts = sorted(f for f in os.listdir(exp) if f.endswith(".ckpt"))
+    assert "000006.ckpt" in ckpts  # from the first run, not overwritten from 0
+
+
+def test_cli_render_only(cli_env):
+    import run_nerf
+
+    basedir, argv = cli_env
+    run_nerf.main(argv + ["--render_only", "--render_test"])
+    exp = os.path.join(basedir, os.listdir(basedir)[0])
+    rdirs = [d for d in os.listdir(exp) if d.startswith("renderonly_test_")]
+    assert rdirs
+    rfiles = os.listdir(os.path.join(exp, rdirs[0]))
+    assert "video.mp4" in rfiles or "video.gif" in rfiles
+    assert any(f.endswith(".png") for f in rfiles)

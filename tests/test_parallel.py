@@ -91,3 +91,12 @@ def test_graft_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_bench_scaling_harness_runs():
+    from hashnerf_tpu.tools.bench_scaling import measure
+
+    res = measure([1, 2], n_rand=64, n_iters=1, n_samples=8, n_importance=4)
+    assert len(res) == 2
+    assert res[0]["devices"] == 1 and res[1]["devices"] == 2
+    assert all(r["rays_per_s"] > 0 for r in res)

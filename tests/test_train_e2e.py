@@ -113,3 +113,14 @@ def test_tv_all_levels_matches_per_level():
         for l in range(L)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_debug_check_finite(capsys):
+    import jax.numpy as jnp
+    from hashnerf_tpu.utils.debug import check_finite
+
+    clean = {"a": jnp.ones((3,)), "b": jnp.zeros((2, 2))}
+    assert check_finite(clean)
+    dirty = {"a": jnp.array([1.0, jnp.nan]), "i": jnp.array([1, 2])}
+    assert not check_finite(dirty, where="test:")
+    assert "Numerical Error" in capsys.readouterr().out
