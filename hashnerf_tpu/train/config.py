@@ -108,6 +108,11 @@ def config_parser() -> argparse.ArgumentParser:
                         dest="tv_loss_weight")
 
     # TPU-native extensions (not in the reference)
+    parser.add_argument("--n_levels", type=int, default=16,
+                        help="hash-grid levels L (reference hardcodes 16)")
+    parser.add_argument("--n_features_per_level", type=int, default=2,
+                        help="features per level F; L=8/F=4 keeps the 32-dim "
+                        "encoding but halves the gather count (TPU fast mode)")
     parser.add_argument("--compute_dtype", type=str, default=None,
                         help="bfloat16 for MXU-friendly MLP compute")
     parser.add_argument("--use_occupancy", action="store_true",

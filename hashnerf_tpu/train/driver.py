@@ -47,6 +47,8 @@ def model_config_from_args(args) -> ModelConfig:
         netdepth_fine=args.netdepth_fine,
         netwidth_fine=args.netwidth_fine,
         hash_grid=HashGridConfig(
+            n_levels=getattr(args, "n_levels", 16),
+            n_features_per_level=getattr(args, "n_features_per_level", 2),
             log2_hashmap_size=args.log2_hashmap_size,
             finest_resolution=args.finest_res,
         ),

@@ -62,6 +62,24 @@ def test_encode_matches_golden(rng):
     np.testing.assert_allclose(np.asarray(feats), gold, rtol=2e-4, atol=1e-7)
 
 
+def test_encode_matches_golden_L8F4(rng):
+    """The TPU fast-mode table shape (L=8, F=4) against the same oracle."""
+    cfg = HashGridConfig(
+        n_levels=8, n_features_per_level=4, log2_hashmap_size=11,
+        base_resolution=4, finest_resolution=64,
+    )
+    table = init_hash_table(jax.random.PRNGKey(3), cfg)
+    bmin = np.array([-1.0, -1.0, -1.0], np.float32)
+    bmax = np.array([1.0, 1.0, 1.0], np.float32)
+    x = rng.uniform(-1.0, 1.0, size=(16, 3)).astype(np.float32)
+
+    feats, keep = hash_encode(table, jnp.asarray(x), jnp.asarray(bmin), jnp.asarray(bmax), cfg)
+    gold, gkeep = golden_encode(np.asarray(table), x, bmin, bmax, cfg)
+    assert feats.shape == (16, 32)
+    np.testing.assert_array_equal(np.asarray(keep), gkeep)
+    np.testing.assert_allclose(np.asarray(feats), gold, rtol=2e-4, atol=1e-7)
+
+
 def test_encode_shapes_and_grad():
     cfg = HashGridConfig(n_levels=4, log2_hashmap_size=10, base_resolution=4, finest_resolution=16)
     table = init_hash_table(jax.random.PRNGKey(1), cfg)
