@@ -59,6 +59,9 @@ class ModelConfig:
     netdepth_fine: int = 8
     netwidth_fine: int = 256
     sh_degree: int = 4
+    # Single network for both render passes (Instant-NGP style): state.fine
+    # stays None and the coarse params serve the fine query too.
+    share_fine: bool = False
     hash_grid: HashGridConfig = dataclasses.field(default_factory=HashGridConfig)
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for MXU-friendly MLPs
     # Fast table-gradient path (sort + Pallas one-hot accumulation instead of
@@ -181,7 +184,9 @@ def create_model(key: jax.Array, cfg: ModelConfig):
     state = NGPState(
         hash_table=table,
         coarse=init_fn(k_coarse),
-        fine=fine_init_fn(k_fine) if cfg.N_importance > 0 else None,
+        fine=fine_init_fn(k_fine)
+        if (cfg.N_importance > 0 and not cfg.share_fine)
+        else None,
     )
 
     def query_fn(state: NGPState, pts, viewdirs, bbox, fine: bool = False):

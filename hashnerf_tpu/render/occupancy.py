@@ -57,9 +57,31 @@ def _cell_index(pts: jnp.ndarray, bbox: jnp.ndarray, R: int) -> jnp.ndarray:
 def occupancy_lookup(
     grid: jnp.ndarray, pts: jnp.ndarray, bbox: jnp.ndarray, cfg: OccupancyConfig
 ) -> jnp.ndarray:
-    """bool (N,): point's cell passes the density threshold."""
+    """bool (N,): point's cell passes the density threshold.
+
+    Adaptive threshold min(cfg.threshold, mean(grid)): early in training the
+    density scale is far below any fixed cutoff — a fixed threshold would
+    cull everything and stall optimization. The mean tracks the field's own
+    scale; the fixed value caps it once density has concentrated.
+    """
     idx = _cell_index(pts, bbox, cfg.resolution)
-    return jnp.take(grid, idx) > cfg.threshold
+    thr = jnp.minimum(cfg.threshold, jnp.mean(grid))
+    return jnp.take(grid, idx) > thr
+
+
+def occupancy_scores(
+    grid: jnp.ndarray, pts: jnp.ndarray, bbox: jnp.ndarray, cfg: OccupancyConfig
+) -> jnp.ndarray:
+    """float (N,): each point's cell density EMA; out-of-bbox points -> -1.
+
+    Used for BUDGETED culling: keeping the top-keep_k points by score (rather
+    than thresholding) guarantees the static budget is spent on the densest
+    cells — a hard threshold either overflows the budget (dropping truly
+    occupied points while keeping empty ones) or starves it.
+    """
+    idx = _cell_index(pts, bbox, cfg.resolution)
+    in_bbox = jnp.all((pts >= bbox[0]) & (pts <= bbox[1]), axis=-1)
+    return jnp.where(in_bbox, jnp.take(grid, idx), -1.0)
 
 
 @partial(jax.jit, static_argnames=("cfg", "sigma_fn"))
@@ -90,16 +112,20 @@ def update_occupancy_grid(
 
 
 def cull_points(
-    occ_mask: jnp.ndarray,  # (N,) bool — True = keep
+    occ: jnp.ndarray,  # (N,) bool mask (True = keep) or float scores
     keep_k: int,
 ):
-    """Static-shape partition: indices of up-to-keep_k occupied points first.
+    """Static-shape partition: indices of the keep_k best points first.
 
+    Bool input: occupied points first (stable). Float input: descending by
+    score, so the static budget always goes to the densest cells.
     Returns (kept_idx (K,), inv_perm (N,)) where inv_perm maps permuted
     positions back to original order (take-based unsort, no scatter).
     """
-    # stable partition: occupied (False sorts first) keep original order
-    order = jnp.argsort(~occ_mask, stable=True)  # (N,)
+    if occ.dtype == jnp.bool_:
+        order = jnp.argsort(~occ, stable=True)  # (N,)
+    else:
+        order = jnp.argsort(-occ, stable=True)
     kept_idx = order[:keep_k]
     inv_perm = jnp.argsort(order, stable=True)  # positions of each original pt
     return kept_idx, inv_perm
@@ -120,8 +146,12 @@ def query_with_culling(
     culled points get raw = 0 (sigma 0 == empty space)."""
     Rr, S = pts.shape[0], pts.shape[1]
     flat = pts.reshape(-1, 3)
-    occ = occupancy_lookup(grid, flat, bbox, cfg)
-    kept_idx, inv_perm = cull_points(occ, keep_k)
+    # Budgeted top-k by density score. Out-of-bbox points score -1 (their
+    # sigma is zeroed by the query anyway, so culling them is EXACTLY
+    # semantics-preserving — and for unbounded near/far ranges a large share
+    # of stratified samples lies outside the bbox).
+    scores = occupancy_scores(grid, flat, bbox, cfg)
+    kept_idx, inv_perm = cull_points(scores, keep_k)
 
     pts_kept = jnp.take(flat, kept_idx, axis=0)[None]  # (1, K, 3)
     dirs_kept = None

@@ -125,7 +125,31 @@ def config_parser() -> argparse.ArgumentParser:
                         help="shard rays over this many devices (0 = all)")
     parser.add_argument("--use_pallas", action="store_true",
                         help="use the Pallas fused hash-encode kernel")
+    parser.add_argument("--share_fine", action="store_true",
+                        help="single network for coarse+fine passes "
+                        "(Instant-NGP style; halves params, both passes "
+                        "train the same field)")
+    parser.add_argument("--preset", type=str, default=None,
+                        choices=list(PRESETS),
+                        help="named flag bundle; explicit CLI flags override")
     return parser
+
+
+# Named flag bundles, spliced BEFORE cli args (CLI/config overrides preset).
+# tpu-fast: the flagship TPU training config — same 32-dim encoding as the
+# reference (L=8 levels x F=4 features halves the gather count; measured
+# equal-rate k=4 row gathers), occupancy-grid + bbox sample culling, a single
+# shared network for both passes, bf16 MLP compute.
+PRESETS = {
+    "tpu-fast": [
+        "--n_levels", "8",
+        "--n_features_per_level", "4",
+        "--compute_dtype", "bfloat16",
+        "--use_occupancy",
+        "--occ_keep_fraction", "0.25",
+        "--share_fine",
+    ],
+}
 
 
 def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
@@ -133,13 +157,16 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     (CLI overrides config, matching configargparse precedence)."""
     parser = config_parser()
     pre, _ = parser.parse_known_args(argv)
+    tokens: List[str] = []
+    if pre.preset:
+        tokens += PRESETS[pre.preset]
     if pre.config:
-        cfg_tokens = _parse_config_file(pre.config)
-        argv = list(argv) if argv is not None else None
+        tokens += _parse_config_file(pre.config)
+    if tokens:
         import sys
 
-        base = argv if argv is not None else sys.argv[1:]
-        args = parser.parse_args(cfg_tokens + list(base))
+        base = list(argv) if argv is not None else sys.argv[1:]
+        args = parser.parse_args(tokens + base)
     else:
         args = parser.parse_args(argv)
     return args

@@ -41,6 +41,7 @@ def model_config_from_args(args) -> ModelConfig:
         multires_views=args.multires_views,
         use_viewdirs=args.use_viewdirs,
         use_gradient=getattr(args, "use_gradient", False),
+        share_fine=getattr(args, "share_fine", False),
         N_importance=args.N_importance,
         netdepth=args.netdepth,
         netwidth=args.netwidth,
@@ -241,6 +242,10 @@ class Trainer:
         from hashnerf_tpu.render.occupancy import init_occupancy_grid
 
         self.occ_grid = init_occupancy_grid(occ_cfg)
+        # Culling additionally waits until the grid actually contains occupied
+        # cells — activating on an all-empty grid (density not yet emerged)
+        # would cull everything and stall training.
+        self._occ_ready = False
         query_fn = self.query_fn
         bbox = self.bbox
         use_dirs = self.render_cfg.use_viewdirs
@@ -281,7 +286,9 @@ class Trainer:
 
         occ_cfg = self.render_cfg.occupancy
         occ_active = (
-            occ_cfg is not None and self.global_step >= occ_cfg.warmup_steps
+            occ_cfg is not None
+            and self.global_step >= occ_cfg.warmup_steps
+            and self._occ_ready
         )
         occ_arg = self.occ_grid if occ_active else None
 
@@ -293,6 +300,9 @@ class Trainer:
         if occ_cfg is not None and self.global_step % occ_cfg.update_every == 0:
             self.key, ku = jax.random.split(self.key)
             self.occ_grid = self._occ_update(self.occ_grid, ku, self.state)
+            if not self._occ_ready:
+                # one scalar fetch per update until the field shows density
+                self._occ_ready = float(jnp.max(self.occ_grid)) > 0.0
         return metrics
 
     # ------------------------------------------------------------------ #

@@ -124,3 +124,35 @@ def test_debug_check_finite(capsys):
     dirty = {"a": jnp.array([1.0, jnp.nan]), "i": jnp.array([1, 2])}
     assert not check_finite(dirty, where="test:")
     assert "Numerical Error" in capsys.readouterr().out
+
+
+def test_tpu_fast_preset_training(scene):
+    """Flagship fast mode: preset flags -> shared net, L8/F4 table,
+    occupancy+bbox culling — trains and improves PSNR like the parity path."""
+    from hashnerf_tpu.train.config import parse_args
+
+    args = parse_args(["--preset", "tpu-fast"])
+    assert args.share_fine and args.use_occupancy
+    assert (args.n_levels, args.n_features_per_level) == (8, 4)
+    # CLI flags override the preset
+    args2 = parse_args(["--preset", "tpu-fast", "--n_levels", "4"])
+    assert args2.n_levels == 4
+
+    args = tiny_args(
+        share_fine=True, n_levels=8, n_features_per_level=4,
+        use_occupancy=True, occ_resolution=32, occ_update_every=4, occ_warmup=8,
+        occ_keep_fraction=0.25,
+    )
+    trainer = Trainer(args, scene)
+    assert trainer.state.fine is None  # shared network
+    assert trainer.state.hash_table.shape[:1] == (8,)
+    assert trainer.state.hash_table.shape[2:] == (4,)
+    rng = np.random.default_rng(0)
+    psnrs = []
+    for i in range(50):
+        img_i = int(rng.choice(scene.i_train))
+        batch = trainer.sample_image(img_i, args.N_rand, precrop=False)
+        m = trainer.step(batch)
+        psnrs.append(float(m["psnr"]))
+        assert np.isfinite(psnrs[-1])
+    assert np.mean(psnrs[-10:]) > np.mean(psnrs[:10]) + 1.5
