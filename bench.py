@@ -61,35 +61,31 @@ def main():
     scene = make_synthetic_scene(H=128, W=128, n_train=8, n_test=2)
     trainer = Trainer(args, scene)
 
-    rng = np.random.default_rng(0)
-
-    def one_step():
-        img_i = int(rng.choice(scene.i_train))
-        batch = trainer.sample_image(img_i, args.N_rand, precrop=False)
-        return trainer.step(batch)
+    # Block size: K optimizer steps fused into one XLA dispatch via lax.scan
+    # (on-device ray sampling) — the TPU-native equivalent of the reference's
+    # tight CUDA-stream loop. Must be a multiple of occ update_every (16).
+    B = int(os.environ.get("BENCH_BLOCK", "48"))
 
     # Warmup / compile. Measure steady state: the reference hard-disables the
     # TV regularizer after iter 1000 (run_nerf.py:637-638), so 98% of training
     # runs the TV-free step; time that variant.
     # NOTE: block_until_ready does not reliably synchronize on the axon
     # backend — force a host fetch (float()) to close each timing region.
-    m = one_step()
-    float(m["loss"])
     trainer.global_step = 1001
-    # Activate occupancy culling (throughput depends only on the static keep
-    # budget, not grid contents — force readiness if density hasn't emerged
-    # in the handful of warmup steps).
     if trainer.render_cfg.occupancy is not None:
-        for _ in range(32):
-            m = one_step()
+        # Populate the occupancy grid, then force readiness: throughput
+        # depends only on the static keep budget, not grid contents.
+        m = trainer.run_steps(32, block_size=16)
+        float(m["loss"])
         trainer._occ_ready = True
-    m = one_step()
+    m = trainer.run_steps(B, block_size=B)
+    float(m["loss"])
+    m = trainer.run_steps(B, block_size=B)
     float(m["loss"])
 
-    n_iters = int(os.environ.get("BENCH_ITERS", "50"))
+    n_iters = int(os.environ.get("BENCH_ITERS", str(4 * B)))
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        m = one_step()
+    m = trainer.run_steps(n_iters, block_size=B)
     float(m["loss"])
     dt = time.perf_counter() - t0
 

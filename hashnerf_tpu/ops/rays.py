@@ -32,6 +32,27 @@ def get_rays(H: int, W: int, K, c2w) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return rays_o, rays_d
 
 
+def get_rays_at(K, c2w, ys, xs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pinhole rays at selected pixel coordinates only.
+
+    Same convention as get_rays (reference ray_util.py:62-80) but evaluated
+    at (ys, xs) int vectors instead of the full H×W grid — the scanned
+    train step selects N_rand pixels first and generates only those rays,
+    avoiding an H·W-sized intermediate per step.
+    Returns rays_o, rays_d, each (N, 3).
+    """
+    K = jnp.asarray(K)
+    c2w = jnp.asarray(c2w)
+    i = xs.astype(jnp.float32)
+    j = ys.astype(jnp.float32)
+    dirs = jnp.stack(
+        [(i - K[0, 2]) / K[0, 0], -(j - K[1, 2]) / K[1, 1], -jnp.ones_like(i)], -1
+    )
+    rays_d = jnp.einsum("nc,rc->nr", dirs, c2w[:3, :3], precision="highest")
+    rays_o = jnp.broadcast_to(c2w[:3, -1], rays_d.shape)
+    return rays_o, rays_d
+
+
 def get_rays_np(H: int, W: int, K, c2w) -> Tuple[np.ndarray, np.ndarray]:
     """Numpy twin of get_rays for host-side ray-pool construction
     (reference ray_util.py:82-93)."""

@@ -129,6 +129,9 @@ def config_parser() -> argparse.ArgumentParser:
                         help="single network for coarse+fine passes "
                         "(Instant-NGP style; halves params, both passes "
                         "train the same field)")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="optimizer steps fused into one XLA dispatch "
+                        "(lax.scan block); >1 amortizes host dispatch latency")
     parser.add_argument("--preset", type=str, default=None,
                         choices=list(PRESETS),
                         help="named flag bundle; explicit CLI flags override")
@@ -148,6 +151,7 @@ PRESETS = {
         "--use_occupancy",
         "--occ_keep_fraction", "0.25",
         "--share_fine",
+        "--steps_per_dispatch", "16",
     ],
 }
 

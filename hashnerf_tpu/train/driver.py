@@ -269,6 +269,7 @@ class Trainer:
             sigma = jax.nn.relu(raw[:, 0, 3])
             return (grid * occ_cfg.ema_decay).at[cells].max(sigma)
 
+        self._occ_update_fn = occ_update  # traceable (used inside scanned blocks)
         self._occ_update = jax.jit(occ_update)
 
     def step(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, float]:
@@ -304,6 +305,215 @@ class Trainer:
                 # one scalar fetch per update until the field shows density
                 self._occ_ready = float(jnp.max(self.occ_grid)) > 0.0
         return metrics
+
+    # ------------------------------------------------------------------ #
+    # Scanned multi-step training (K optimizer steps per XLA dispatch)
+    # ------------------------------------------------------------------ #
+    def _ensure_device_scene(self):
+        """Scene arrays resident on device for on-device ray sampling."""
+        if getattr(self, "_d_images", None) is not None:
+            return
+        sc = self.scene
+        self._d_images = jnp.asarray(sc.images)
+        self._d_poses = jnp.asarray(sc.poses[:, :3, :4])
+        self._d_K = jnp.asarray(sc.K)
+        self._d_i_train = jnp.asarray(np.asarray(sc.i_train), jnp.int32)
+        self._block_cache = {}
+
+    def _build_block(self, n_steps: int, with_tv: bool, occ_mode, precrop: bool):
+        """One jitted function = `n_steps` full optimization steps via
+        lax.scan, with on-device per-image random-pixel ray sampling.
+
+        Rationale: the per-step XLA program is small (1024 rays × 192
+        samples), so at 1 dispatch/step the host→device round-trip dominates
+        wall time. Scanning K steps amortizes dispatch to ~0 (the TPU-native
+        equivalent of the reference's tight CUDA-stream loop).
+
+        occ_mode: None (no occupancy), "update" (maintain grid, no culling
+        yet — warmup), "cull" (maintain grid + budgeted top-k culling).
+        """
+        from hashnerf_tpu.ops.rays import get_rays_at
+
+        args = self.args
+        optimizer = self.optimizer
+        loss_fn = make_loss_fn(
+            args, self.render_cfg, self.query_fn, self.bbox,
+            self.model_cfg.hash_grid, with_tv=with_tv,
+        )
+        images, poses = self._d_images, self._d_poses
+        Kmat, i_train = self._d_K, self._d_i_train
+        H, W = self.scene.H, self.scene.W
+        n_rand = args.N_rand
+        near, far = self.near, self.far
+        use_vdirs = self.render_cfg.use_viewdirs
+        occ_cfg = self.render_cfg.occupancy
+
+        if precrop:
+            dH = int(H // 2 * args.precrop_frac)
+            dW = int(W // 2 * args.precrop_frac)
+            ys0, xs0 = H // 2 - dH, W // 2 - dW
+            nH, nW = 2 * dH, 2 * dW
+        else:
+            ys0, xs0, nH, nW = 0, 0, H, W
+
+        def sample_batch(key):
+            k_img, k_pix = jax.random.split(key)
+            idx = i_train[jax.random.randint(k_img, (), 0, i_train.shape[0])]
+            sel = jax.random.choice(k_pix, nH * nW, (n_rand,), replace=False)
+            ys = ys0 + sel // nW
+            xs = xs0 + sel % nW
+            rays_o, rays_d = get_rays_at(Kmat, poses[idx], ys, xs)
+            batch = {
+                "rays_o": rays_o,
+                "rays_d": rays_d,
+                "target": images[idx][ys, xs],
+                "near": jnp.full((n_rand,), near, jnp.float32),
+                "far": jnp.full((n_rand,), far, jnp.float32),
+            }
+            if use_vdirs:
+                batch["viewdirs"] = rays_d / jnp.linalg.norm(
+                    rays_d, axis=-1, keepdims=True
+                )
+            return batch
+
+        def train_one(state, opt_state, key, tv_w, occ_grid):
+            k_batch, k_step = jax.random.split(key)
+            batch = sample_batch(k_batch)
+            (loss, (psnr, img_loss)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state, batch, k_step, tv_w, occ_grid)
+            updates, opt_state = optimizer.update(grads, opt_state, state)
+            state = optax.apply_updates(state, updates)
+            return state, opt_state, {
+                "loss": loss, "psnr": psnr, "img_loss": img_loss
+            }
+
+        if occ_mode is None:
+
+            @jax.jit
+            def block(state, opt_state, occ_grid, key, tv_w):
+                def body(carry, _):
+                    state, opt_state, key = carry
+                    key, k = jax.random.split(key)
+                    state, opt_state, m = train_one(state, opt_state, k, tv_w, None)
+                    return (state, opt_state, key), m
+
+                (state, opt_state, key), ms = jax.lax.scan(
+                    body, (state, opt_state, key), None, length=n_steps
+                )
+                return state, opt_state, occ_grid, jax.tree_util.tree_map(
+                    lambda x: x[-1], ms
+                )
+
+            return block
+
+        upd = occ_cfg.update_every
+        n_seg, rem = divmod(n_steps, upd)
+        assert rem == 0, "occupancy block size must be a multiple of update_every"
+        cull = occ_mode == "cull"
+        occ_update = self._occ_update_fn
+
+        @jax.jit
+        def block(state, opt_state, occ_grid, key, tv_w):
+            def seg(carry, _):
+                state, opt_state, occ_grid, key = carry
+
+                def body(c, _):
+                    state, opt_state, key = c
+                    key, k = jax.random.split(key)
+                    state, opt_state, m = train_one(
+                        state, opt_state, k, tv_w, occ_grid if cull else None
+                    )
+                    return (state, opt_state, key), m
+
+                (state, opt_state, key), ms = jax.lax.scan(
+                    body, (state, opt_state, key), None, length=upd
+                )
+                key, ku = jax.random.split(key)
+                occ_grid = occ_update(occ_grid, ku, state)
+                return (state, opt_state, occ_grid, key), jax.tree_util.tree_map(
+                    lambda x: x[-1], ms
+                )
+
+            (state, opt_state, occ_grid, key), ms = jax.lax.scan(
+                seg, (state, opt_state, occ_grid, key), None, length=n_seg
+            )
+            return state, opt_state, occ_grid, jax.tree_util.tree_map(
+                lambda x: x[-1], ms
+            )
+
+        return block
+
+    def run_steps(self, n_steps: int, block_size: int = 0, precrop: bool = False):
+        """Run `n_steps` optimization steps, batching them into scanned
+        blocks of `block_size` (default: args.steps_per_dispatch, min 1)
+        dispatched as single XLA programs. Splits at static boundaries (TV
+        cutoff at iter 1000, occupancy warmup/readiness) so each block is
+        shape- and flag-static. Returns the final step's metrics."""
+        args = self.args
+        self._ensure_device_scene()
+        block_size = block_size or max(1, getattr(args, "steps_per_dispatch", 1))
+        occ_cfg = self.render_cfg.occupancy
+        metrics = None
+        remaining = n_steps
+        while remaining > 0:
+            use_tv = self.global_step <= 1000 and args.tv_loss_weight > 0 and (
+                args.i_embed == EMBED_HASH
+            )
+            # steps until the TV-off boundary (step counter is incremented
+            # after each step, so step index global_step+1..; TV applies
+            # while global_step <= 1000)
+            k = remaining
+            if use_tv:
+                k = min(k, 1001 - self.global_step)
+
+            if occ_cfg is None:
+                occ_mode = None
+            else:
+                if not self._occ_ready and self.occ_grid is not None:
+                    self._occ_ready = float(jnp.max(self.occ_grid)) > 0.0
+                active = self.global_step >= occ_cfg.warmup_steps and self._occ_ready
+                occ_mode = "cull" if active else "update"
+                if not active and self.global_step < occ_cfg.warmup_steps:
+                    # stop at the warmup boundary to re-check activation;
+                    # past it (grid not ready yet) run full update-mode
+                    # blocks — readiness is re-checked per block.
+                    k = min(k, occ_cfg.warmup_steps - self.global_step)
+
+            b = min(k, block_size)
+            if occ_mode is not None:
+                b = (b // occ_cfg.update_every) * occ_cfg.update_every
+            if b == 0:
+                # sub-update_every remainder: fall back to single host steps
+                for _ in range(min(k, occ_cfg.update_every if occ_cfg else 1)):
+                    batch = self._host_sample(precrop)
+                    metrics = self.step(batch)
+                    remaining -= 1
+                continue
+
+            cache_key = (b, use_tv, occ_mode, precrop)
+            fn = self._block_cache.get(cache_key)
+            if fn is None:
+                fn = self._build_block(b, use_tv, occ_mode, precrop)
+                self._block_cache[cache_key] = fn
+            self.key, kb = jax.random.split(self.key)
+            tv_w = jnp.float32(args.tv_loss_weight if use_tv else 0.0)
+            occ_in = self.occ_grid if occ_mode is not None else None
+            self.state, self.opt_state, occ_out, metrics = fn(
+                self.state, self.opt_state, occ_in, kb, tv_w
+            )
+            if occ_mode is not None:
+                self.occ_grid = occ_out
+            self.global_step += b
+            remaining -= b
+        return metrics
+
+    def _host_sample(self, precrop: bool):
+        rng = getattr(self, "_np_rng", None)
+        if rng is None:
+            rng = self._np_rng = np.random.default_rng(0)
+        img_i = int(rng.choice(self.scene.i_train))
+        return self.sample_image(img_i, self.args.N_rand, precrop)
 
     # ------------------------------------------------------------------ #
     # Ray sampling (host-orchestrated, device-executed)
@@ -426,20 +636,36 @@ def train_loop(args, scene: Scene, n_iters: Optional[int] = None, log_fn=print):
     start = trainer.global_step + 1
     time0 = time.time()
     np_rng = np.random.default_rng(0)
+    spd = max(1, getattr(args, "steps_per_dispatch", 1))
 
-    for i in range(start, n_iters + 1):
-        if use_batching:
-            batch = trainer.sample_pool(pool, i_batch, args.N_rand)
-            i_batch += args.N_rand
-            if i_batch >= pool.shape[0]:
-                trainer.key, k_perm = jax.random.split(trainer.key)
-                pool = pool[jax.random.permutation(k_perm, pool.shape[0])]
-                i_batch = 0
+    i = start
+    while i <= n_iters:
+        if use_batching or spd <= 1:
+            if use_batching:
+                batch = trainer.sample_pool(pool, i_batch, args.N_rand)
+                i_batch += args.N_rand
+                if i_batch >= pool.shape[0]:
+                    trainer.key, k_perm = jax.random.split(trainer.key)
+                    pool = pool[jax.random.permutation(k_perm, pool.shape[0])]
+                    i_batch = 0
+            else:
+                img_i = int(np_rng.choice(scene.i_train))
+                batch = trainer.sample_image(
+                    img_i, args.N_rand, precrop=i < args.precrop_iters
+                )
+            metrics = trainer.step(batch)
         else:
-            img_i = int(np_rng.choice(scene.i_train))
-            batch = trainer.sample_image(img_i, args.N_rand, precrop=i < args.precrop_iters)
-
-        metrics = trainer.step(batch)
+            # Scanned span: fuse steps [i, end] into lax.scan blocks,
+            # stopping at the next periodic-event / precrop boundary.
+            end = n_iters
+            for e in (args.i_print, args.i_weights, args.i_video, args.i_testset):
+                if e and e > 0:
+                    end = min(end, ((i - 1) // e + 1) * e)
+            precrop = i < args.precrop_iters
+            if precrop:
+                end = min(end, args.precrop_iters - 1)
+            metrics = trainer.run_steps(end - i + 1, block_size=spd, precrop=precrop)
+            i = end
 
         if i % args.i_weights == 0:
             trainer.save(os.path.join(savepath, "{:06d}.ckpt".format(i)))
@@ -472,5 +698,7 @@ def train_loop(args, scene: Scene, n_iters: Optional[int] = None, log_fn=print):
             from hashnerf_tpu.utils.io import save_loss_history
 
             save_loss_history(savepath, loss_list, psnr_list, time_list)
+
+        i += 1
 
     return trainer
