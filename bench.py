@@ -6,6 +6,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's published number — a GTX 1050Ti takes ~10 min for
 5k iterations at N_rand=1024 (README.md:13, configs/chair.txt) ≈ 8.3 it/s ≈
 8533 rays/s. vs_baseline = our rays/s / 8533.
+
+Measurement shape: the TPU here sits behind a tunnel with ~3-4 s of
+PER-DISPATCH round-trip latency (measured: one pre-compiled 1024^2 matmul
+costs ~2.8 s wall), so throughput only exists inside scanned blocks — K full
+optimizer steps per XLA dispatch (lax.scan, on-device ray sampling). The
+bench times ONE big block dispatch; latency is amortized over BENCH_BLOCK
+steps and is INCLUDED in the reported number (it is real wall time a user
+pays). A persistent compilation cache (.cache/jax) makes reruns skip the
+~1-4 min XLA compile.
 """
 from __future__ import annotations
 
@@ -14,14 +23,19 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 BASELINE_RAYS_PER_S = 5000 * 1024 / 600.0  # 1050Ti reference ≈ 8533 rays/s
 
 
 def main():
-    import numpy as np
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".cache", "jax"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from hashnerf_tpu.data.synthetic import make_synthetic_scene
@@ -61,29 +75,27 @@ def main():
     scene = make_synthetic_scene(H=128, W=128, n_train=8, n_test=2)
     trainer = Trainer(args, scene)
 
-    # Block size: K optimizer steps fused into one XLA dispatch via lax.scan
-    # (on-device ray sampling) — the TPU-native equivalent of the reference's
-    # tight CUDA-stream loop. Must be a multiple of occ update_every (16).
-    B = int(os.environ.get("BENCH_BLOCK", "48"))
-
-    # Warmup / compile. Measure steady state: the reference hard-disables the
-    # TV regularizer after iter 1000 (run_nerf.py:637-638), so 98% of training
-    # runs the TV-free step; time that variant.
+    # Steady state: the reference hard-disables the TV regularizer after iter
+    # 1000 (run_nerf.py:637-638), so 98% of training runs the TV-free step;
+    # time that variant.
     # NOTE: block_until_ready does not reliably synchronize on the axon
     # backend — force a host fetch (float()) to close each timing region.
     trainer.global_step = 1001
     if trainer.render_cfg.occupancy is not None:
-        # Populate the occupancy grid, then force readiness: throughput
-        # depends only on the static keep budget, not grid contents.
-        m = trainer.run_steps(32, block_size=16)
+        # Populate the occupancy grid (one update-mode block dispatch), then
+        # force readiness: throughput depends only on the static keep budget,
+        # not grid contents.
+        m = trainer.run_steps(32, block_size=32)
         float(m["loss"])
         trainer._occ_ready = True
-    m = trainer.run_steps(B, block_size=B)
-    float(m["loss"])
+
+    # One warmup dispatch of the SAME block program (scan length is static —
+    # a different warmup length would compile a second program for nothing).
+    B = int(os.environ.get("BENCH_BLOCK", "256"))
     m = trainer.run_steps(B, block_size=B)
     float(m["loss"])
 
-    n_iters = int(os.environ.get("BENCH_ITERS", str(4 * B)))
+    n_iters = int(os.environ.get("BENCH_ITERS", str(B)))
     t0 = time.perf_counter()
     m = trainer.run_steps(n_iters, block_size=B)
     float(m["loss"])

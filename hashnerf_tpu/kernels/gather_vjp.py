@@ -12,7 +12,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from hashnerf_tpu.kernels.segment_scatter import sorted_segment_accumulate, SPAN
+from hashnerf_tpu.kernels.segment_scatter import sorted_segment_accumulate
 
 
 @jax.custom_vjp
@@ -27,12 +27,9 @@ def _fwd(table, idx):
 
 def _bwd(res, g):
     (T, F), idx = res
-    if T % SPAN == 0:
-        d_table = sorted_segment_accumulate(
-            idx.reshape(-1), g.reshape(-1, F), num_rows=T
-        )
-    else:  # odd table sizes fall back to XLA scatter
-        d_table = jnp.zeros((T, F), g.dtype).at[idx.reshape(-1)].add(g.reshape(-1, F))
+    d_table = sorted_segment_accumulate(
+        idx.reshape(-1), g.reshape(-1, F), num_rows=T
+    )
     return d_table, None
 
 

@@ -2,8 +2,9 @@
 
 Forward: identical math to ops.hash_encoding.hash_encode (the jnp oracle).
 Backward: the table cotangent is a 25M-row scatter-add in the chair config —
-XLA's scatter costs ~2 s/step. We reformulate it as sort + windowed one-hot
-MXU accumulation (kernels.segment_scatter), cutting it by ~10x.
+XLA's scatter costs ~2 s/step. We reformulate it as sort + prefix-sum
+difference (kernels.segment_scatter) — pure sequential data movement, no
+scatter primitive anywhere.
 
 Residuals: only (x, bbox) are saved; corner indices and weights are
 recomputed in the backward (a few ms of VPU work) instead of saving 25M

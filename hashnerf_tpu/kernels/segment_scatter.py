@@ -1,110 +1,36 @@
-"""Scatter-add as sort + windowed one-hot MXU accumulation (Pallas).
+"""Scatter-add as sort + prefix-sum difference — zero scatter ops, O(M + T).
 
-WHY: XLA's TPU scatter-add costs ~60-80 ns/update (measured ~2.0 s for the
-25M hash-gradient updates of one chair-config train step) — it serializes
-row updates. This kernel reformulates dense-table accumulation as:
+WHY: the backward of the hash-grid gather is a scatter-add of M ≈ 1-25M
+(row, F-vector) updates into a T ≈ 4M-row table. XLA's TPU scatter serializes
+row updates (~60-80 ns each → seconds per step). A previous version of this
+file used a Pallas windowed one-hot kernel; it beat XLA scatter ~10x but its
+work was O(T × CHUNK) — ~80 ms/call in the chair config, which dominated the
+whole train step (measured: 2 calls ≈ 160 ms of a 182 ms step).
 
-  1. (XLA) sort updates by row index (`jax.lax.sort`, bitonic — fast,
-     regular data movement);
-  2. (XLA) `searchsorted` the window boundaries — per-window entry offsets;
-  3. (Pallas) per table-window: DMA the window's sorted entry chunks from
-     HBM, build an exact {0,1} one-hot (chunk x SPAN) in VMEM, and
-     accumulate acc[SPAN, F] += onehot^T @ vals on the MXU.
+This formulation is pure data movement + dense arithmetic, all XLA-native:
 
-No scatter primitive appears anywhere: all data movement is sequential DMA
-+ dense matmul, which is what the TPU is fast at. The one-hot is fp32 and
-the dot uses HIGHEST precision, so accumulation is exact fp32 (order within
-a window differs from XLA's scatter; sums match to fp32 rounding).
+  1. sort (idx, iota) by idx                — bitonic, O(M log^2 M) regular;
+  2. permute vals by the sort permutation    — one M-row gather;
+  3. csum = exclusive-prefix-sum over sorted vals (O(M·F) VPU);
+  4. ends[r] = searchsorted(sidx, r, 'right') — count of entries with idx<=r;
+  5. out[r] = csum[ends[r]] - csum[ends[r-1]] — one T-row gather + a shift.
+
+Total work is O(M log^2 M + T·F): tens of MB of sequential HBM traffic, a
+few ms where the window kernel took ~80. No scatter primitive anywhere.
+
+NUMERICS: rows are sums of prefix differences, so each row's absolute error
+is bounded by the fp32 rounding of the running prefix at that point
+(~eps·|csum|). Gradient entries into the hash table have random signs, so the
+prefix stays near sqrt(M)·|v| and the relative row error is ~1e-5 — far below
+SGD noise. The XLA scatter path (CPU fallback below) remains the exact oracle
+and the unit tests compare against it (tests/test_kernels.py).
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-# Window of table rows accumulated per grid step, and sorted-entry chunk size.
-SPAN = 1024
-CHUNK = 2048
-
-
-def _window_kernel(offs_ref, idx_hbm, vals_hbm, out_ref, idx_vmem, vals_vmem,
-                   sem_i, sem_v, *, F: int):
-    w = pl.program_id(0)
-    start = offs_ref[w]
-    end = offs_ref[w + 1]
-
-    out_ref[...] = jnp.zeros_like(out_ref)
-
-    # Iterate CHUNK-ALIGNED chunks covering [start, end): DMA starts must be
-    # provably tile-aligned on TPU. Boundary chunks are shared with adjacent
-    # windows, but the row-range mask below keeps contributions disjoint.
-    c0 = start // CHUNK
-    c1 = (end + CHUNK - 1) // CHUNK
-    nchunks = jnp.maximum(0, c1 - c0)
-
-    def dma_pair(ci, slot):
-        off = pl.multiple_of((c0 + ci) * CHUNK, CHUNK)
-        soff = pl.multiple_of(slot * CHUNK, CHUNK)
-        # vals are stored TRANSPOSED (F, M) so the chunk slice runs along the
-        # lane dimension (128-aligned); a (CHUNK, F) slice would violate TPU
-        # lane tiling (F=2 < 128). Double-buffer slots live side-by-side in
-        # flat scratch (slot-dim slicing violates sublane tiling).
-        return (
-            pltpu.make_async_copy(
-                idx_hbm.at[pl.ds(off, CHUNK)],
-                idx_vmem.at[pl.ds(soff, CHUNK)],
-                sem_i.at[slot],
-            ),
-            pltpu.make_async_copy(
-                vals_hbm.at[:, pl.ds(off, CHUNK)],
-                vals_vmem.at[:, pl.ds(soff, CHUNK)],
-                sem_v.at[slot],
-            ),
-        )
-
-    @pl.when(nchunks > 0)
-    def _():
-        a, b = dma_pair(0, 0)
-        a.start()
-        b.start()
-
-    def body(ci, _):
-        slot = ci % 2
-
-        @pl.when(ci + 1 < nchunks)
-        def _():
-            a, b = dma_pair(ci + 1, (ci + 1) % 2)
-            a.start()
-            b.start()
-
-        a, b = dma_pair(ci, slot)
-        a.wait()
-        b.wait()
-
-        soff = pl.multiple_of(slot * CHUNK, CHUNK)
-        local = idx_vmem[pl.ds(soff, CHUNK)] - w * SPAN  # (CHUNK,)
-        in_window = (local >= 0) & (local < SPAN)
-        local = jnp.where(in_window, local, SPAN)
-
-        # Exact {0,1} one-hot mask (CHUNK, SPAN); sentinel row contributes 0.
-        # Accumulate on the VPU (masked multiply + sublane reduction): an MXU
-        # dot here pads the F=2 output to 128 lanes and wastes 64x the MACs.
-        span_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, SPAN), 1)
-        onehot = (span_ids == local[:, None]).astype(jnp.float32)
-
-        vals = vals_vmem[:, pl.ds(soff, CHUNK)]  # (F, CHUNK)
-        cols = []
-        for f in range(F):
-            contrib = onehot * vals[f][:, None]  # (CHUNK, SPAN)
-            cols.append(jnp.sum(contrib, axis=0))  # (SPAN,)
-        out_ref[...] += jnp.stack(cols, axis=-1)
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, body, 0)
 
 
 def sorted_segment_accumulate(
@@ -114,9 +40,8 @@ def sorted_segment_accumulate(
 ) -> jnp.ndarray:
     """Dense equivalent of zeros((num_rows, F)).at[idx].add(vals).
 
-    Uses the Pallas window kernel on TPU; on other backends (CPU tests)
-    XLA's scatter-add is already adequate and Pallas TPU kernels cannot
-    lower, so fall back.
+    Uses the sort + prefix-sum-difference formulation on TPU; on other
+    backends (CPU tests) XLA's scatter-add is already adequate.
     """
     if jax.default_backend() != "tpu":
         return jnp.zeros((num_rows, vals.shape[-1]), vals.dtype).at[idx].add(vals)
@@ -129,44 +54,29 @@ def _sorted_segment_accumulate_tpu(
     vals: jnp.ndarray,
     num_rows: int,
 ) -> jnp.ndarray:
-    assert num_rows % SPAN == 0, f"num_rows must be a multiple of {SPAN}"
     M, F = vals.shape
-    W = num_rows // SPAN
 
-    sidx, *svals = jax.lax.sort(
-        (idx.astype(jnp.int32),) + tuple(vals[:, f] for f in range(F)), num_keys=1
+    # 1-2. Sort indices (carrying the permutation, 2 operands — cheaper than
+    # sorting all F value columns) and permute the values with one gather.
+    sidx, perm = jax.lax.sort(
+        (idx.astype(jnp.int32), jnp.arange(M, dtype=jnp.int32)), num_keys=1
     )
-    svals = jnp.stack(svals, axis=0)  # (F, M) — lane-major for aligned DMA
+    svals = jnp.take(vals, perm, axis=0)
 
-    # Pad with out-of-range sentinel so chunk DMAs never run off the end.
-    pad = (-M) % CHUNK + CHUNK
-    sidx = jnp.concatenate([sidx, jnp.full((pad,), num_rows, jnp.int32)])
-    svals = jnp.concatenate([svals, jnp.zeros((F, pad), svals.dtype)], axis=1)
+    # 3. Inclusive prefix sum, with a leading zero row so csum[k] = sum of the
+    # first k sorted entries.
+    csum = jnp.concatenate(
+        [jnp.zeros((1, F), vals.dtype), jnp.cumsum(svals, axis=0)], axis=0
+    )  # (M+1, F)
 
-    # Per-window entry offsets; final entry excludes the sentinel tail.
-    bounds = jnp.arange(W + 1, dtype=jnp.int32) * SPAN
-    offs = jnp.searchsorted(sidx, bounds, side="left").astype(jnp.int32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(W,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # sorted idx stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # sorted vals stay in HBM
-        ],
-        out_specs=pl.BlockSpec(
-            (SPAN, F), lambda w, *_: (w, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2 * CHUNK,), jnp.int32),
-            pltpu.VMEM((F, 2 * CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+    # 4. ends[r] = number of entries with idx <= r.
+    ends = jnp.searchsorted(
+        sidx, jnp.arange(num_rows, dtype=jnp.int32), side="right"
     )
 
-    return pl.pallas_call(
-        functools.partial(_window_kernel, F=F),
-        out_shape=jax.ShapeDtypeStruct((num_rows, F), jnp.float32),
-        grid_spec=grid_spec,
-    )(offs, sidx, svals)
+    # 5. Row r's sum = csum[ends[r]] - csum[ends[r-1]] (ends[-1] := 0 → the
+    # shifted gather's first row must subtract csum[0] = 0, which the leading
+    # zero row provides via prepending a 0 index).
+    e = jnp.take(csum, ends, axis=0)  # (T, F)
+    prev = jnp.concatenate([jnp.zeros((1, F), vals.dtype), e[:-1]], axis=0)
+    return e - prev
