@@ -64,8 +64,9 @@ class ModelConfig:
     share_fine: bool = False
     hash_grid: HashGridConfig = dataclasses.field(default_factory=HashGridConfig)
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for MXU-friendly MLPs
-    # Fast table-gradient path (sort + Pallas one-hot accumulation instead of
-    # XLA scatter-add; ~5x faster backward on TPU). None = auto: on for TPU.
+    # Fast table-gradient path (sort + prefix-sum-difference segment
+    # accumulate instead of XLA scatter-add, kernels/segment_scatter.py).
+    # None = auto: on for TPU.
     fast_hash_grad: Optional[bool] = None
 
     @property

@@ -6,8 +6,8 @@ partition all per-ray compute across chips and insert psum all-reduces for
 the (replicated) hash-table and MLP gradients over ICI — the TPU-native
 equivalent of gradient all-reduce, overlapped with backward by the XLA
 scheduler (latency-hiding). No hand-written collectives needed at this layer;
-Pallas ring collectives live in hashnerf_tpu/kernels for the table-sharded
-mode.
+the table-sharded mode (parallel/table_sharded.py) likewise relies on
+XLA-inserted collectives over its ("data", "model") mesh.
 """
 from __future__ import annotations
 

@@ -8,8 +8,8 @@ Times, each as a separately-jitted program (median of reps after warmup):
   opt        optimizer update alone (grads precomputed)
   step       the full fused train step (grad + update)
   encode_fwd hash encode forward alone on the fine-pass point count
-  encode_bwd hash encode VJP backward alone (sort + scatter)
-  scan16     16 scanned steps in one dispatch (per-step amortized)
+  encode_bwd hash encode VJP backward alone (sort + prefix-sum accumulate)
+  scan48     48 scanned steps in one dispatch (per-step amortized)
 """
 from __future__ import annotations
 
@@ -22,12 +22,9 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, reps=10, warmup=2):
+def timeit(fn, *args, reps=5, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    out = jax.tree_util.tree_map(
-        lambda x: x if isinstance(x, jax.Array) else x, out
-    )
     jax.block_until_ready(out)
     ts = []
     for _ in range(reps):
@@ -148,10 +145,7 @@ def main():
 
     print("encode_bwd %8.2f ms" % (1e3 * timeit(enc_bwd, trainer.state.hash_table, pts)))
 
-    # scanned block amortization
-    t0 = time.perf_counter()
-    m = trainer.run_steps(48, block_size=48)
-    float(m["loss"])
+    # scanned block amortization (one warmup block compiles the program)
     m = trainer.run_steps(48, block_size=48)
     float(m["loss"])
     t0 = time.perf_counter()

@@ -122,9 +122,9 @@ def config_parser() -> argparse.ArgumentParser:
     parser.add_argument("--occ_update_every", type=int, default=16)
     parser.add_argument("--occ_warmup", type=int, default=256)
     parser.add_argument("--num_devices", type=int, default=0,
-                        help="shard rays over this many devices (0 = all)")
-    parser.add_argument("--use_pallas", action="store_true",
-                        help="use the Pallas fused hash-encode kernel")
+                        help="N>1: shard rays over an N-device data-parallel "
+                        "mesh (params replicated, grads all-reduced over "
+                        "ICI); 0/1 = single device")
     parser.add_argument("--share_fine", action="store_true",
                         help="single network for coarse+fine passes "
                         "(Instant-NGP style; halves params, both passes "

@@ -188,11 +188,36 @@ class Trainer:
         lindisp = args.lindisp if (self.scene is None or not self.scene.ndc) else False
         self.render_cfg = render_config_from_args(args, ndc=ndc, lindisp=lindisp)
 
+        # --num_devices N (N>1): data-parallel mesh over the ray axis. The
+        # batch gets a with_sharding_constraint inside the jitted step/block;
+        # params stay replicated and XLA inserts the gradient psums over ICI
+        # (GSPMD recipe — no hand-written collectives at this layer).
+        self.mesh = None
+        n_dev = getattr(args, "num_devices", 0) or 0
+        if n_dev > 1:
+            from hashnerf_tpu.parallel.mesh import make_mesh
+
+            if n_dev > len(jax.devices()):
+                raise ValueError(
+                    f"--num_devices {n_dev} > available devices {len(jax.devices())}"
+                )
+            if args.N_rand % n_dev:
+                raise ValueError(
+                    f"--N_rand {args.N_rand} must be divisible by --num_devices {n_dev}"
+                )
+            self.mesh = make_mesh(n_dev)
+
         self.key, k_model = jax.random.split(self.key)
         self.state, self.query_fn = create_model(k_model, self.model_cfg)
         self.optimizer = make_optimizer(args, self.state)
         self.opt_state = self.optimizer.init(self.state)
         self.global_step = 0
+        if self.mesh is not None:
+            from hashnerf_tpu.parallel.mesh import replicate
+
+            rep = replicate(self.mesh)
+            self.state = jax.device_put(self.state, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
 
         if self.scene is not None:
             self.bbox = jnp.asarray(self.scene.bbox_array())
@@ -202,6 +227,18 @@ class Trainer:
             self.near, self.far = 2.0, 6.0
 
         self._train_step = self._build_train_step()
+
+    def _shard_rays_constraint(self, batch: Dict[str, jnp.ndarray]):
+        """Inside-jit sharding annotation: every per-ray array split over the
+        mesh's 'data' axis. No-op without a mesh."""
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P("data"))
+        return {
+            k: jax.lax.with_sharding_constraint(v, sh) for k, v in batch.items()
+        }
 
     # ------------------------------------------------------------------ #
     # The jitted step
@@ -217,6 +254,7 @@ class Trainer:
 
             @jax.jit
             def train_step(state, opt_state, batch, key, tv_weight, occ_grid=None):
+                batch = self._shard_rays_constraint(batch)
                 (loss, (psnr, img_loss)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(state, batch, key, tv_weight, occ_grid)
@@ -374,7 +412,7 @@ class Trainer:
                 batch["viewdirs"] = rays_d / jnp.linalg.norm(
                     rays_d, axis=-1, keepdims=True
                 )
-            return batch
+            return self._shard_rays_constraint(batch)
 
         def train_one(state, opt_state, key, tv_w, occ_grid):
             k_batch, k_step = jax.random.split(key)

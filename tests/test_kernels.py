@@ -1,4 +1,11 @@
-"""Pallas kernels vs jnp oracles (run in interpret mode on CPU)."""
+"""Fast-gradient kernels (sort + two-level-prefix-sum segment accumulate,
+hash-encode custom VJP) vs jnp/numpy oracles, run on the CPU backend.
+
+The public `sorted_segment_accumulate` wrapper falls back to XLA scatter-add
+off-TPU, so these tests call the TPU formulation
+(`_sorted_segment_accumulate_tpu`) directly — it is plain jnp (sort, cumsum,
+searchsorted, gathers) and runs identically on CPU.
+"""
 import functools
 
 import numpy as np
@@ -9,23 +16,10 @@ import pytest
 from hashnerf_tpu.ops.hash_encoding import HashGridConfig, hash_encode, init_hash_table
 
 
-@pytest.fixture(autouse=True)
-def _interpret_mode(monkeypatch):
-    """Run pallas kernels in interpreter mode on the CPU backend."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    ctx = pltpu.force_tpu_interpret_mode()
-    ctx.__enter__()
-    yield
-    ctx.__exit__(None, None, None)
-
-
 def test_sorted_segment_accumulate_matches_scatter(rng):
-    # call the TPU kernel directly (interpret mode) — the public wrapper
-    # falls back to XLA scatter on non-TPU backends
     from hashnerf_tpu.kernels.segment_scatter import _sorted_segment_accumulate_tpu
 
-    T = 2048  # 2 windows
+    T = 2048
     M = 5000
     idx = rng.integers(0, T, M).astype(np.int32)
     vals = rng.normal(size=(M, 2)).astype(np.float32)
@@ -35,15 +29,37 @@ def test_sorted_segment_accumulate_matches_scatter(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
 
 
-def test_sorted_segment_accumulate_empty_windows(rng):
+def test_sorted_segment_accumulate_single_hot_row(rng):
     from hashnerf_tpu.kernels.segment_scatter import _sorted_segment_accumulate_tpu
 
-    T = 4096  # 4 windows, hit only window 2
+    T = 4096
     idx = np.full(100, 2500, np.int32)
     vals = np.ones((100, 2), np.float32)
     got = np.asarray(_sorted_segment_accumulate_tpu(jnp.asarray(idx), jnp.asarray(vals), num_rows=T))
     assert got[2500, 0] == pytest.approx(100.0)
     assert np.abs(got).sum() == pytest.approx(200.0)
+
+
+def test_sorted_segment_accumulate_large_m_correlated_signs(rng):
+    """ADVICE r1: at large M with same-sign values the running prefix grows
+    O(M); the two-level prefix sum must keep per-row error bounded by the
+    intra-block term, not eps·|global prefix|. Compare small row sums sitting
+    at the END of a huge same-sign stream against a float64 oracle."""
+    from hashnerf_tpu.kernels.segment_scatter import _sorted_segment_accumulate_tpu
+
+    M, T = 2_000_000, 1024
+    # all-positive values ≈ 1.0 → global prefix ≈ 2e6; fp32 eps*prefix ≈ 0.25,
+    # which would swamp a row sum of ~2000*1.0 at 1e-4 precision if the prefix
+    # difference were taken naively.
+    idx = rng.integers(0, T, M).astype(np.int32)
+    vals = rng.uniform(0.5, 1.5, size=(M, 1)).astype(np.float32)
+
+    got = np.asarray(
+        _sorted_segment_accumulate_tpu(jnp.asarray(idx), jnp.asarray(vals), num_rows=T)
+    )
+    want = np.zeros((T, 1), np.float64)
+    np.add.at(want, idx, vals.astype(np.float64))
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=2e-5)
 
 
 def test_hash_encode_fast_forward_matches_oracle(rng):

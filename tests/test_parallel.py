@@ -87,6 +87,41 @@ def test_sharded_matches_single_device(sharded_setup):
     )
 
 
+def test_num_devices_flag_scanned_path_matches_single_device():
+    """--num_devices 8 must be a real flag: the Trainer builds the mesh and
+    the SCANNED block path (run_steps) produces the same losses as
+    single-device (same keys, same on-device sampling; sharding only changes
+    reduction order)."""
+    scene = make_synthetic_scene(H=32, W=32, n_train=4, n_test=1)
+    args1 = tiny_args(N_rand=128, N_samples=8, N_importance=4, chunk=1024)
+    args8 = tiny_args(N_rand=128, N_samples=8, N_importance=4, chunk=1024)
+    args8.num_devices = 8
+
+    t1 = Trainer(args1, scene, key=jax.random.PRNGKey(3))
+    t8 = Trainer(args8, scene, key=jax.random.PRNGKey(3))
+    assert t8.mesh is not None and t8.mesh.shape == {"data": 8}
+    assert t1.mesh is None
+
+    m1 = t1.run_steps(4, block_size=2)
+    m8 = t8.run_steps(4, block_size=2)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(t1.state.hash_table), np.asarray(t8.state.hash_table),
+        rtol=1e-4, atol=1e-7,
+    )
+    # per-ray compute really is distributed: the batch constraint leaves the
+    # params replicated
+    assert t8.state.hash_table.sharding.is_fully_replicated
+
+
+def test_num_devices_validation():
+    scene = make_synthetic_scene(H=16, W=16, n_train=2, n_test=1)
+    args = tiny_args(N_rand=100, N_samples=8, N_importance=0, chunk=1024)
+    args.num_devices = 8  # 100 % 8 != 0
+    with pytest.raises(ValueError):
+        Trainer(args, scene)
+
+
 def test_graft_dryrun():
     import __graft_entry__ as g
 
