@@ -7,14 +7,21 @@ Baseline: the reference's published number — a GTX 1050Ti takes ~10 min for
 5k iterations at N_rand=1024 (README.md:13, configs/chair.txt) ≈ 8.3 it/s ≈
 8533 rays/s. vs_baseline = our rays/s / 8533.
 
-Measurement shape: the TPU here sits behind a tunnel with ~3-4 s of
-PER-DISPATCH round-trip latency (measured: one pre-compiled 1024^2 matmul
-costs ~2.8 s wall), so throughput only exists inside scanned blocks — K full
-optimizer steps per XLA dispatch (lax.scan, on-device ray sampling). The
-bench times ONE big block dispatch; latency is amortized over BENCH_BLOCK
-steps and is INCLUDED in the reported number (it is real wall time a user
-pays). A persistent compilation cache (.cache/jax) makes reruns skip the
-~1-4 min XLA compile.
+Measurement shape: K full optimizer steps per XLA dispatch (lax.scan blocks
+with on-device ray sampling — the TPU-native equivalent of the reference's
+tight CUDA-stream loop). The number reported is the median of BENCH_REPS
+timed block dispatches after one warmup dispatch of the same compiled
+program; dispatch latency is included (it is real wall time a user pays).
+A persistent compilation cache (.cache/jax) makes reruns skip the XLA
+compile; a cold process additionally pays a one-off TPU-runtime attach that
+is NOT timed (it happens during warmup).
+
+Robustness: this script NEVER exits non-zero. If a block size fails
+(compile/HBM/runtime), it degrades to smaller blocks and finally to
+single-step dispatches, reporting whatever it measured plus a "note".
+
+Env knobs: BENCH_BLOCK (256), BENCH_REPS (2), BENCH_N_RAND (1024),
+BENCH_PARITY=1 for the reference-exact execution path.
 """
 from __future__ import annotations
 
@@ -22,6 +29,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -29,14 +37,24 @@ sys.path.insert(0, REPO)
 BASELINE_RAYS_PER_S = 5000 * 1024 / 600.0  # 1050Ti reference ≈ 8533 rays/s
 
 
-def main():
+def emit(rays_per_s: float, note: str = ""):
+    out = {
+        "metric": "train_rays_per_s",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 2),
+    }
+    if note:
+        out["note"] = note
+    print(json.dumps(out))
+
+
+def build_trainer():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".cache", "jax"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    import jax.numpy as jnp
 
     from hashnerf_tpu.data.synthetic import make_synthetic_scene
     from hashnerf_tpu.train.config import config_parser
@@ -69,50 +87,83 @@ def main():
         args.use_occupancy = True
         args.occ_keep_fraction = float(os.environ.get("BENCH_KEEP", "0.25"))
         args.occ_warmup = 8
-    if os.environ.get("BENCH_BF16"):
-        args.compute_dtype = "bfloat16"
 
     scene = make_synthetic_scene(H=128, W=128, n_train=8, n_test=2)
     trainer = Trainer(args, scene)
 
     # Steady state: the reference hard-disables the TV regularizer after iter
-    # 1000 (run_nerf.py:637-638), so 98% of training runs the TV-free step;
-    # time that variant.
+    # 1000 (run_nerf.py:637-638), so 98% of training runs the TV-free step.
     # NOTE: block_until_ready does not reliably synchronize on the axon
     # backend — force a host fetch (float()) to close each timing region.
     trainer.global_step = 1001
-    if trainer.render_cfg.occupancy is not None:
-        # Populate the occupancy grid (one update-mode block dispatch), then
-        # force readiness: throughput depends only on the static keep budget,
-        # not grid contents.
-        m = trainer.run_steps(32, block_size=32)
+    return trainer, args
+
+
+def measure_block(trainer, args, block: int, reps: int) -> float:
+    """Median rays/s over `reps` timed dispatches of one compiled B-step
+    block (after one untimed warmup dispatch of the same program)."""
+    m = trainer.run_steps(block, block_size=block)
+    float(m["loss"])  # warmup + sync
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        m = trainer.run_steps(block, block_size=block)
         float(m["loss"])
-        trainer._occ_ready = True
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    dt = ts[len(ts) // 2]
+    return block * args.N_rand / dt
 
-    # One warmup dispatch of the SAME block program (scan length is static —
-    # a different warmup length would compile a second program for nothing).
-    B = int(os.environ.get("BENCH_BLOCK", "256"))
-    m = trainer.run_steps(B, block_size=B)
+
+def main():
+    trainer, args = build_trainer()
+
+    if trainer.render_cfg.occupancy is not None:
+        try:
+            # Populate the occupancy grid (one update-mode block dispatch),
+            # then force readiness: throughput depends only on the static
+            # keep budget, not grid contents.
+            m = trainer.run_steps(32, block_size=32)
+            float(m["loss"])
+            trainer._occ_ready = True
+        except Exception:
+            traceback.print_exc()
+            print("# occupancy populate failed; continuing without culling",
+                  file=sys.stderr)
+            import dataclasses
+
+            trainer.render_cfg = dataclasses.replace(
+                trainer.render_cfg, occupancy=None
+            )
+            trainer._block_cache = {}
+
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    note = ""
+    for block in (int(os.environ.get("BENCH_BLOCK", "256")), 64, 16, 4):
+        try:
+            emit(measure_block(trainer, args, block, reps), note)
+            return
+        except Exception:
+            traceback.print_exc()
+            note = f"degraded: block {block} failed"
+            print(f"# {note}; retrying smaller", file=sys.stderr)
+
+    # last resort: single-step dispatches
+    batch = trainer._host_sample(False)
+    m = trainer.step(batch)
     float(m["loss"])
-
-    n_iters = int(os.environ.get("BENCH_ITERS", str(B)))
     t0 = time.perf_counter()
-    m = trainer.run_steps(n_iters, block_size=B)
+    n = 8
+    for _ in range(n):
+        m = trainer.step(trainer._host_sample(False))
     float(m["loss"])
-    dt = time.perf_counter() - t0
-
-    rays_per_s = n_iters * args.N_rand / dt
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_s",
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 2),
-            }
-        )
-    )
+    emit(n * args.N_rand / (time.perf_counter() - t0), note + "; single-step mode")
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        traceback.print_exc()
+        emit(0.0, "bench failed entirely; see stderr")
+    sys.exit(0)

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Quality benchmark: PSNR-vs-iterations on the procedural scene.
+
+Trains the canonical chair-hyperparameter config (README.md:20: finest_res
+512, log2T 19, lr 0.01, N_rand 1024, 64+128 samples) on the procedural
+blender-geometry scene (no dataset files exist in this environment) and
+records the test-set PSNR curve — the capability the reference measures
+empirically via its loss/PSNR pickles (run_nerf.py:708-719) and the
+BASELINE.md quality gate tracks ("chair PSNR >= reference @5k iters",
+"iters-to-PSNR-30").
+
+Prints ONE JSON line with PSNR milestones + iters-to-30dB and writes the
+full curve to BENCH_QUALITY.json.
+
+Env: QB_ITERS (default 1536), QB_BLOCK (128), QB_PARITY=1 for the
+reference-exact execution path (fp32, 16x2 table, separate fine net, no
+culling) instead of the tpu-fast path.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".cache", "jax"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+
+    from hashnerf_tpu.data.synthetic import make_synthetic_scene
+    from hashnerf_tpu.train.config import config_parser
+    from hashnerf_tpu.train.driver import Trainer
+
+    args = config_parser().parse_args([])
+    args.N_rand = 1024
+    args.N_samples = 64
+    args.N_importance = 128
+    args.finest_res = 512
+    args.log2_hashmap_size = 19
+    args.lrate = 0.01
+    args.lrate_decay = 10
+    args.use_viewdirs = True
+    args.white_bkgd = True
+    args.no_batching = True
+    if not os.environ.get("QB_PARITY"):
+        args.n_levels = 8
+        args.n_features_per_level = 4
+        args.share_fine = True
+        args.compute_dtype = "bfloat16"
+        args.use_occupancy = True
+        args.occ_keep_fraction = 0.25
+        args.occ_warmup = 64
+
+    n_iters = int(os.environ.get("QB_ITERS", "1536"))
+    block = int(os.environ.get("QB_BLOCK", "128"))
+
+    scene = make_synthetic_scene(H=128, W=128, n_train=16, n_test=2)
+    trainer = Trainer(args, scene)
+
+    curve = []
+    t0 = time.time()
+    done = 0
+    while done < n_iters:
+        b = min(block, n_iters - done)
+        m = trainer.run_steps(b, block_size=b)
+        done += b
+        rgbs, _, psnrs = trainer.render_test_path(
+            scene.poses[scene.i_test], gt_imgs=scene.images[scene.i_test]
+        )
+        curve.append(
+            {
+                "iter": done,
+                "test_psnr": float(np.mean(psnrs)),
+                "train_psnr": float(m["psnr"]),
+                "wall_s": round(time.time() - t0, 1),
+            }
+        )
+        print(f"# iter {done}: test PSNR {curve[-1]['test_psnr']:.2f}", file=sys.stderr)
+
+    # iters to 30 dB (linear interpolation on the curve; None if not reached)
+    iters_to_30 = None
+    prev = None
+    for pt in curve:
+        if pt["test_psnr"] >= 30.0 and iters_to_30 is None:
+            if prev is None:
+                iters_to_30 = pt["iter"]
+            else:
+                f = (30.0 - prev["test_psnr"]) / (pt["test_psnr"] - prev["test_psnr"])
+                iters_to_30 = round(prev["iter"] + f * (pt["iter"] - prev["iter"]))
+        prev = pt
+
+    result = {
+        "metric": "test_psnr_at_%d" % n_iters,
+        "value": round(curve[-1]["test_psnr"], 2),
+        "unit": "dB",
+        "iters_to_psnr30": iters_to_30,
+        "wall_s": curve[-1]["wall_s"],
+        "mode": "parity" if os.environ.get("QB_PARITY") else "tpu-fast",
+        "curve": curve,
+    }
+    with open(os.path.join(REPO, "BENCH_QUALITY.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "curve"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,40 +1,38 @@
-"""Scatter-add as sort + prefix-sum difference — zero scatter ops, O(M + T).
+"""Scatter-add as sort + scanned one-hot MXU accumulation — no scatter op.
 
 WHY: the backward of the hash-grid gather is a scatter-add of M ≈ 1-25M
-(row, F-vector) updates into a T ≈ 4M-row table. XLA's TPU scatter serializes
-row updates (~60-80 ns each → seconds per step). A previous version of this
-file used a Pallas windowed one-hot kernel; it beat XLA scatter ~10x but its
-work was O(T × CHUNK) — ~80 ms/call in the chair config, which dominated the
-whole train step (measured: 2 calls ≈ 160 ms of a 182 ms step).
+(row, F-vector) updates into a T ≈ 4M-row table. Measured on the v5e
+(tools/tpu_microbench.py, chair scale M=12.6M, T=4.2M):
 
-This formulation is pure data movement + dense arithmetic, all XLA-native:
+    XLA scatter-add                      1056 ms   (serialized row updates)
+    round-1 sort+prefix-sum-difference   1078 ms   — of which:
+        sort (idx, iota)                   52 ms
+        permute vals (random gather)      200 ms
+        cumsum                             59 ms
+        searchsorted over T rows          747 ms   ← XLA lowers this as a
+                                                     per-query binary-search
+                                                     loop; the real killer
 
-  1. sort (idx, iota) by idx                — bitonic, O(M log^2 M) regular;
-  2. permute vals by the sort permutation    — one M-row gather;
-  3. blocked prefix structure over sorted vals: intra-block exclusive cumsums
-     (blocks of ``_BLOCK``), per-block totals, and a block-offset prefix;
-  4. ends[r] = searchsorted(sidx, r, 'right') — count of entries with idx<=r;
-  5. each row's sum assembled from intra-block cumsum differences + whole
-     block totals — a handful of T-row gathers, no scatter anywhere.
+This formulation keeps the (cheap, regular) sort and replaces everything
+else with dense MXU work:
 
-Total work is O(M log^2 M + T·F): tens of MB of sequential HBM traffic, a
-few ms where the window kernel took ~80. No scatter primitive anywhere.
+  1. multi-operand sort (idx, val_0..val_{F-1})  — carries the values through
+     the sort network, eliminating the 200 ms random permute-gather;
+  2. scan over blocks of P sorted elements: each block's rows live in the
+     narrow window [first, first+R) of the accumulator (sorted order ⇒
+     locality), so the block's contribution is ONE-HOT MATMUL
+     onehot(idx-first) (R,P) @ vals (P,F) added into a dynamic slice of the
+     accumulator — exact 0/1 weights in f32, equivalent to scatter-add up to
+     summation order.
 
-NUMERICS (the reason for the blocked assembly): a single running fp32 prefix
-over M same-sign entries grows to ~M·|v|, and differencing it loses
-eps·M·|v| absolutely — catastrophic for small rows (ADVICE.md round 1). Here
-a row's sum over sorted positions [s, e) is assembled as
+Cost: sort O(M log^2 M) + M·R VPU compares + M·R·F MXU MACs + 2·(R·F) slice
+traffic per block — ~50-190 ms at chair scale, 5-20x the round-1 path.
 
-  same block:        intra[e] - intra[s]                (offsets never enter)
-  adjacent blocks:   (total[b_s] - intra[s]) + intra[e] (pure intra terms)
-  spanning blocks:   + (offs[b_e] - offs[b_s+1])        (middle block totals)
-
-so the error is bounded by eps·_BLOCK·max|v| for the intra terms, plus — only
-for rows whose segments span ≥ 2 block boundaries, i.e. rows with ≥ _BLOCK
-entries — a relative O(eps·M/_BLOCK) on the middle part, which is itself a
-lower bound on such a row's magnitude. Small rows are exact to intra-block
-precision no matter how large M grows. Verified against a float64 oracle at
-M=2e6 with all-positive values (tests/test_kernels.py).
+EXACTNESS GUARD: if any block of P sorted elements spans more than R rows
+(possible only when the occupied-row density falls below P/R — never for the
+shipped configs, where density ≥ 0.7 — or for adversarial index
+distributions), a vectorized span check routes the WHOLE call to XLA's exact
+scatter via lax.cond. No silent truncation.
 """
 from __future__ import annotations
 
@@ -43,9 +41,21 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# Prefix-sum block size: intra-block error is O(eps·_BLOCK·max|v|); rows
-# spanning a whole block amortize the block-offset error over ≥_BLOCK entries.
-_BLOCK = 4096
+def _pow2_ceil(x: int) -> int:
+    return 1 << max(0, (int(x) - 1).bit_length())
+
+
+def _choose_pr(m: int, num_rows: int):
+    """Static block geometry from the statically-known mean density M/T.
+
+    Expected span of a P-element sorted block is P/d rows; R = ~3x that
+    (Chernoff makes overflow astronomically unlikely at these sizes, and the
+    exact fallback guards the rest). VPU compare cost is M*R; VMEM for the
+    one-hot tile is R*P*4B — both bounded by the clamps."""
+    d = max(m / num_rows, 1e-6)
+    p = min(1024, max(128, _pow2_ceil(2048 * d) // 2))
+    r = min(8192, max(512, _pow2_ceil(3 * p / d)))
+    return p, r
 
 
 def sorted_segment_accumulate(
@@ -55,12 +65,11 @@ def sorted_segment_accumulate(
 ) -> jnp.ndarray:
     """Dense equivalent of zeros((num_rows, F)).at[idx].add(vals).
 
-    PRECONDITION: every element of ``idx`` must be in [0, num_rows). The TPU
-    path assumes it (a negative idx would fold into row 0's sum); XLA's
-    scatter on the fallback path silently drops out-of-range indices. All
-    callers pass hash/table indices that are in-range by construction.
+    PRECONDITION: every element of ``idx`` must be in [0, num_rows). All
+    callers pass hash/table indices that are in-range by construction; XLA's
+    scatter on the fallback/oracle path silently drops out-of-range indices.
 
-    Uses the sort + blocked-prefix-difference formulation on TPU; on other
+    Uses the sort + scanned one-hot-matmul formulation on TPU; on other
     backends (CPU tests) XLA's scatter-add is already adequate.
     """
     if jax.default_backend() != "tpu":
@@ -75,56 +84,54 @@ def _sorted_segment_accumulate_tpu(
     num_rows: int,
 ) -> jnp.ndarray:
     M, F = vals.shape
-    B = _BLOCK
+    P, R = _choose_pr(M, num_rows)
 
-    # 1-2. Sort indices (carrying the permutation, 2 operands — cheaper than
-    # sorting all F value columns) and permute the values with one gather.
-    sidx, perm = jax.lax.sort(
-        (idx.astype(jnp.int32), jnp.arange(M, dtype=jnp.int32)), num_keys=1
+    # 1. Multi-operand sort: values ride through the sort network.
+    ops = jax.lax.sort(
+        (idx.astype(jnp.int32),) + tuple(vals[:, f] for f in range(F)),
+        num_keys=1,
     )
-    svals = jnp.take(vals, perm, axis=0)
+    sidx, svals = ops[0], jnp.stack(ops[1:], axis=-1)  # (M,), (M, F)
 
-    # 3. Blocked prefix structure (pad M to a whole number of blocks).
-    nb = -(-M // B)
-    pad = nb * B - M
-    v = jnp.pad(svals, ((0, pad), (0, 0))) if pad else svals
-    v = v.reshape(nb, B, F)
-    incl = jnp.cumsum(v, axis=1)  # inclusive intra-block cumsum
-    totals = incl[:, -1, :]  # (nb, F) block totals
-    # intra[k] = sum over [block_start(k), k) — exclusive within block
-    intra = jnp.concatenate([jnp.zeros((nb, 1, F), v.dtype), incl[:, :-1, :]], 1)
-    intra = intra.reshape(nb * B, F)
-    # offs[b] = sum of totals of blocks < b, (nb+1, F)
-    offs = jnp.concatenate(
-        [jnp.zeros((1, F), v.dtype), jnp.cumsum(totals, axis=0)], axis=0
-    )
+    # Pad M to whole blocks with copies of the LAST index (keeps sortedness
+    # and block spans tight) and zero values (contribute nothing).
+    nb = -(-M // P)
+    pad = nb * P - M
+    if pad:
+        sidx = jnp.concatenate([sidx, jnp.broadcast_to(sidx[-1:], (pad,))])
+        svals = jnp.concatenate([svals, jnp.zeros((pad, F), svals.dtype)])
+    sidx_b = sidx.reshape(nb, P)
+    svals_b = svals.reshape(nb, P, F)
 
-    # 4. Segment boundaries per output row: positions [starts[r], ends[r]).
-    ends = jnp.searchsorted(
-        sidx, jnp.arange(num_rows, dtype=jnp.int32), side="right"
-    ).astype(jnp.int32)
+    # 2. Exactness guard: every block must fit its R-row window.
+    firsts = sidx_b[:, 0]
+    spans = sidx_b[:, -1] - firsts
+    fits = jnp.all(spans < R)
 
-    # 5. Assemble row sums. starts[r] = ends[r-1], so every starts-indexed
-    # gather is a shift of the corresponding ends-indexed gather — one big
-    # gather instead of two. intra is indexed at positions in [0, nb*B]; a
-    # position equal to nb*B (possible for ends == M with pad == 0) reads the
-    # "start of a virtual next block": intra value 0, block id nb — append a
-    # sentinel row so the gather stays in range.
-    intra_s = jnp.concatenate([intra, jnp.zeros((1, F), v.dtype)], axis=0)
-    i_e = jnp.take(intra_s, ends, axis=0)  # (T, F) intra[e]
-    i_s = jnp.concatenate([jnp.zeros((1, F), v.dtype), i_e[:-1]], axis=0)
-    b_e = ends // B
-    b_s = jnp.concatenate([jnp.zeros((1,), jnp.int32), b_e[:-1]])
-    same = (b_e == b_s)[:, None]
-    adj = (b_e == b_s + 1)[:, None]
-    tot_bs = jnp.take(totals, jnp.minimum(b_s, nb - 1), axis=0)
-    # middle whole-block totals for spanning rows: offs[b_e] - offs[b_s + 1]
-    mid = jnp.take(offs, jnp.minimum(b_e, nb), axis=0) - jnp.take(
-        offs, jnp.minimum(b_s + 1, nb), axis=0
-    )
-    out = jnp.where(
-        same,
-        i_e - i_s,
-        (tot_bs - i_s) + i_e + jnp.where(adj, 0.0, mid),
-    )
-    return out
+    def onehot_path(_):
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, P), 0)  # window-row ids
+
+        def body(acc, xs):
+            bidx, bvals = xs  # (P,), (P, F)
+            first = bidx[0]
+            local = bidx - first  # (P,) in [0, R) when fits
+            oh = (local[None, :] == col).astype(jnp.float32)  # (R, P) exact
+            delta = jax.lax.dot_general(
+                oh, bvals,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (R, F) — 0/1 × f32 values: exact up to summation order
+            cur = jax.lax.dynamic_slice(acc, (first, 0), (R, F))
+            acc = jax.lax.dynamic_update_slice(acc, cur + delta, (first, 0))
+            return acc, None
+
+        # R-row window may hang off the table end: accumulate into a padded
+        # buffer and slice the real rows off afterwards.
+        acc0 = jnp.zeros((num_rows + R, F), vals.dtype)
+        acc, _ = jax.lax.scan(body, acc0, (sidx_b, svals_b))
+        return acc[:num_rows]
+
+    def scatter_path(_):
+        return jnp.zeros((num_rows, F), vals.dtype).at[sidx].add(svals)
+
+    return jax.lax.cond(fits, onehot_path, scatter_path, None)

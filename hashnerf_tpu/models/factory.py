@@ -134,13 +134,19 @@ def make_encoders(cfg: ModelConfig):
     return pt_enc, input_ch, view_enc, input_ch_views
 
 
-def create_model(key: jax.Array, cfg: ModelConfig):
+def create_model(key: jax.Array, cfg: ModelConfig, pt_encoder: Optional[Callable] = None):
     """Build (state, query_fn).
 
     query_fn(state, pts (R, S, 3), viewdirs (R, 3) | None, bbox (2, 3), fine)
       -> raw (R, S, C).
+
+    pt_encoder optionally overrides the point encoder (same signature
+    (state, x, bbox) -> (feats, keep_mask)) — used by the table-sharded
+    parallel mode to swap in the shard_map encoder.
     """
     pt_enc, input_ch, view_enc, input_ch_views = make_encoders(cfg)
+    if pt_encoder is not None:
+        pt_enc = pt_encoder
 
     k_table, k_coarse, k_fine = jax.random.split(key, 3)
 

@@ -74,3 +74,73 @@ def make_sharded_encoder(mesh: Mesh, cfg: HashGridConfig):
         check_rep=False,
     )
     return encode
+
+
+# --------------------------------------------------------------------------- #
+# Full train step over the ("data", "model") mesh (BASELINE configs[4]:
+# log2T=21 tables too heavy to replicate+all-reduce).
+# --------------------------------------------------------------------------- #
+
+def make_table_sharded_trainer(mesh: Mesh, args, key, bbox, near: float, far: float):
+    """Build (state, opt_state, train_step) with the hash table LEVEL-SHARDED
+    over 'model' and rays sharded over 'data'.
+
+    The whole optimization step (encode -> MLP -> composite -> losses ->
+    backward -> RAdam) is one jitted program: the shard_map encoder's
+    all_gather moves only the (N, L_local*F) activations across 'model'
+    (its AD transpose reduce-scatters the activation grads back), while the
+    table and its RAdam moments never leave the owning device. TV is not
+    applied in this mode (it would gather the full table; the reference
+    disables TV after iter 1000 anyway — run_nerf.py:637-638).
+    """
+    import optax
+
+    from hashnerf_tpu.models.factory import create_model
+    from hashnerf_tpu.render.renderer import render_rays
+    from hashnerf_tpu.train import driver as _driver
+
+    model_cfg = _driver.model_config_from_args(args)
+    render_cfg = _driver.render_config_from_args(args)
+    hcfg = model_cfg.hash_grid
+
+    sharded_encode = make_sharded_encoder(mesh, hcfg)
+    pt_encoder = lambda state, x, bb: sharded_encode(
+        state.hash_table, x, bb[0], bb[1]
+    )
+    state, query_fn = create_model(key, model_cfg, pt_encoder=pt_encoder)
+
+    # placement: table (+ its optimizer moments) level-sharded, rest replicated
+    table_sh = NamedSharding(mesh, P("model", None, None))
+    rep = NamedSharding(mesh, P())
+
+    def place(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, table_sh if getattr(x, "shape", None) == state.hash_table.shape else rep
+            ),
+            tree,
+        )
+
+    state = place(state)
+    optimizer = _driver.make_optimizer(args, state)
+    opt_state = place(optimizer.init(state))
+
+    loss_fn = _driver.make_loss_fn(
+        args, render_cfg, query_fn, jnp.asarray(bbox), hcfg, with_tv=False
+    )
+    data_sh = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def train_step(state, opt_state, batch, key):
+        batch = {
+            k: jax.lax.with_sharding_constraint(v, data_sh)
+            for k, v in batch.items()
+        }
+        (loss, (psnr, img_loss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state, batch, key, jnp.float32(0.0))
+        updates, opt_state = optimizer.update(grads, opt_state, state)
+        state = optax.apply_updates(state, updates)
+        return state, opt_state, {"loss": loss, "psnr": psnr, "img_loss": img_loss}
+
+    return state, opt_state, train_step

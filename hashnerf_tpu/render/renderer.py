@@ -9,6 +9,7 @@ and runs fixed-size chunks (one compiled program reused across chunks);
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -163,6 +164,29 @@ def _prepare_rays(
     return rays_o, rays_d, viewdirs, sh
 
 
+@functools.partial(
+    jax.jit, static_argnames=("query_fn", "cfg", "n_chunks", "has_vdirs")
+)
+def _render_chunks_scanned(
+    state, query_fn, rays_o_c, rays_d_c, viewdirs_c, near, far, bbox, keys,
+    cfg: RenderConfig, occ_grid, n_chunks: int, has_vdirs: bool,
+):
+    """lax.map over padded chunks: ONE XLA program per image regardless of
+    chunk count (the reference dispatches per chunk,
+    run_nerf_helpers.py:373-381; at ~20 ms/dispatch through this
+    environment's tunnel a 800x800 render would pay it ~20x)."""
+
+    def one(args):
+        ro, rd, vd, k = args
+        return render_rays(
+            state, query_fn, ro, rd, vd if has_vdirs else None,
+            near, far, bbox, k, cfg, occ_grid=occ_grid,
+        )
+
+    vd = viewdirs_c if has_vdirs else jnp.zeros_like(rays_d_c)
+    return jax.lax.map(one, (rays_o_c, rays_d_c, vd, keys))
+
+
 def render(
     state,
     query_fn: Callable,
@@ -178,9 +202,12 @@ def render(
     far: float = 1.0,
     c2w_staticcam=None,
     key: Optional[jax.Array] = None,
+    occ_grid: Optional[jnp.ndarray] = None,
 ):
     """Chunked rendering of a ray batch or a full image.
 
+    All chunks run inside one scanned XLA program (vs the reference's host
+    loop). Pass occ_grid to apply occupancy culling at eval time too.
     Returns (rgb_map, depth_map, acc_map, extras) with leading dims matching
     the input ray layout (reference run_nerf_helpers.py:310-392).
     """
@@ -191,6 +218,7 @@ def render(
     N = rays_o.shape[0]
 
     # Pad to a whole number of chunks so every chunk reuses one compiled program.
+    chunk = min(chunk, N) or N
     n_chunks = max(1, -(-N // chunk))
     pad = n_chunks * chunk - N
 
@@ -204,19 +232,18 @@ def render(
         key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, n_chunks)
 
-    all_ret: Dict[str, list] = {}
-    for i in range(n_chunks):
-        s = i * chunk
-        vo = viewdirs_p[s : s + chunk] if viewdirs_p is not None else None
-        ret = render_rays(
-            state, query_fn,
-            rays_o_p[s : s + chunk], rays_d_p[s : s + chunk], vo,
-            near, far, bbox, keys[i], cfg,
-        )
-        for k, v in ret.items():
-            all_ret.setdefault(k, []).append(v)
+    to_c = lambda x: x.reshape((n_chunks, chunk) + x.shape[1:])
+    if cfg.occupancy is None:
+        occ_grid = None
+    ret_c = _render_chunks_scanned(
+        state, query_fn, to_c(rays_o_p), to_c(rays_d_p),
+        to_c(viewdirs_p) if viewdirs_p is not None else None,
+        jnp.asarray(near, jnp.float32), jnp.asarray(far, jnp.float32),
+        bbox, keys, cfg, occ_grid,
+        n_chunks=n_chunks, has_vdirs=viewdirs_p is not None,
+    )
 
-    out = {k: jnp.concatenate(v, 0)[:N] for k, v in all_ret.items()}
+    out = {k: v.reshape((-1,) + v.shape[2:])[:N] for k, v in ret_c.items()}
     for k in out:
         out[k] = out[k].reshape(sh[:-1] + out[k].shape[1:])
 
@@ -244,6 +271,7 @@ def render_path(
     gt_imgs=None,
     savedir: Optional[str] = None,
     render_factor: int = 0,
+    occ_grid: Optional[jnp.ndarray] = None,
 ):
     """Render a pose path; returns (rgbs, depths, psnrs) as numpy arrays.
 
@@ -264,7 +292,7 @@ def render_path(
         c2w = jnp.asarray(c2w)[:3, :4]
         rgb, depth, acc, _ = render(
             state, query_fn, H, W, K, bbox, cfg.eval_mode(),
-            chunk=chunk, c2w=c2w, near=near, far=far,
+            chunk=chunk, c2w=c2w, near=near, far=far, occ_grid=occ_grid,
         )
         rgb = np.asarray(rgb)
         depth = (np.asarray(depth) - near) / (far - near)

@@ -546,6 +546,88 @@ class Trainer:
             remaining -= b
         return metrics
 
+    # ------------------------------------------------------------------ #
+    # Scanned multi-step training over a flat ray POOL (st3d / batching
+    # mode): batch k = pool[offset + k*N_rand : ...], sliced ON DEVICE
+    # inside the scan — the reference's sequential pool consumption
+    # (run_nerf.py:417-428) at one dispatch per block.
+    # ------------------------------------------------------------------ #
+    def _build_pool_block(self, n_steps: int, with_tv: bool, pool_keys: tuple):
+        args = self.args
+        optimizer = self.optimizer
+        loss_fn = make_loss_fn(
+            args, self.render_cfg, self.query_fn, self.bbox,
+            self.model_cfg.hash_grid, with_tv=with_tv,
+        )
+        n_rand = args.N_rand
+        near, far = self.near, self.far
+        use_vdirs = self.render_cfg.use_viewdirs
+
+        @jax.jit
+        def block(state, opt_state, pool, offset, key, tv_w):
+            def body(carry, k_step):
+                state, opt_state, offset = carry
+                batch = {
+                    name: jax.lax.dynamic_slice_in_dim(pool[name], offset, n_rand)
+                    for name in pool_keys
+                }
+                batch["near"] = jnp.full((n_rand,), near, jnp.float32)
+                batch["far"] = jnp.full((n_rand,), far, jnp.float32)
+                if use_vdirs:
+                    d = batch["rays_d"]
+                    batch["viewdirs"] = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+                batch = self._shard_rays_constraint(batch)
+                (loss, (psnr, img_loss)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state, batch, k_step, tv_w, None)
+                updates, opt_state = optimizer.update(grads, opt_state, state)
+                state = optax.apply_updates(state, updates)
+                return (state, opt_state, offset + n_rand), {
+                    "loss": loss, "psnr": psnr, "img_loss": img_loss
+                }
+
+            keys = jax.random.split(key, n_steps)
+            (state, opt_state, offset), ms = jax.lax.scan(
+                body, (state, opt_state, offset), keys
+            )
+            return state, opt_state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+        return block
+
+    def run_steps_pool(self, pool: Dict[str, jnp.ndarray], offset: int,
+                       n_steps: int, block_size: int = 0) -> Dict[str, float]:
+        """Run `n_steps` steps consuming pool[offset:] sequentially (caller
+        handles epoch reshuffle; offset+n_steps*N_rand must fit the pool).
+        Returns the final step's metrics."""
+        args = self.args
+        block_size = block_size or max(1, getattr(args, "steps_per_dispatch", 1))
+        if not hasattr(self, "_pool_block_cache"):
+            self._pool_block_cache = {}
+        metrics = None
+        pool_keys = tuple(sorted(pool))
+        done = 0
+        while done < n_steps:
+            use_tv = self.global_step <= 1000 and args.tv_loss_weight > 0 and (
+                args.i_embed == EMBED_HASH
+            )
+            b = min(block_size, n_steps - done)
+            if use_tv:
+                b = min(b, 1001 - self.global_step)
+            cache_key = (b, use_tv, pool_keys)
+            fn = self._pool_block_cache.get(cache_key)
+            if fn is None:
+                fn = self._build_pool_block(b, use_tv, pool_keys)
+                self._pool_block_cache[cache_key] = fn
+            self.key, kb = jax.random.split(self.key)
+            tv_w = jnp.float32(args.tv_loss_weight if use_tv else 0.0)
+            self.state, self.opt_state, metrics = fn(
+                self.state, self.opt_state, pool,
+                jnp.int32(offset + done * args.N_rand), kb, tv_w,
+            )
+            self.global_step += b
+            done += b
+        return metrics
+
     def _host_sample(self, precrop: bool):
         rng = getattr(self, "_np_rng", None)
         if rng is None:
@@ -596,6 +678,14 @@ class Trainer:
     # ------------------------------------------------------------------ #
     # Eval / rendering
     # ------------------------------------------------------------------ #
+    @property
+    def _eval_occ_grid(self):
+        """Occupancy grid for eval-time culling (only once populated —
+        --use_occupancy opts into the budgeted-culling semantics)."""
+        if self.render_cfg.occupancy is not None and self._occ_ready:
+            return self.occ_grid
+        return None
+
     def render_image(self, c2w, H=None, W=None, K=None, chunk=None):
         sc = self.scene
         H, W, K = H or sc.H, W or sc.W, (K if K is not None else sc.K)
@@ -603,6 +693,7 @@ class Trainer:
             self.state, self.query_fn, H, W, K, self.bbox,
             self.render_cfg.eval_mode(), chunk=chunk or self.args.chunk,
             c2w=jnp.asarray(c2w)[:3, :4], near=self.near, far=self.far,
+            occ_grid=self._eval_occ_grid,
         )
 
     def render_test_path(self, poses, gt_imgs=None, savedir=None, render_factor=0):
@@ -612,6 +703,7 @@ class Trainer:
             self.bbox, self.render_cfg, chunk=self.args.chunk,
             near=self.near, far=self.far, gt_imgs=gt_imgs,
             savedir=savedir, render_factor=render_factor,
+            occ_grid=self._eval_occ_grid,
         )
 
     # ------------------------------------------------------------------ #
@@ -666,7 +758,7 @@ def train_loop(args, scene: Scene, n_iters: Optional[int] = None, log_fn=print):
 
     n_iters = n_iters or args.N_iters
     use_batching = not args.no_batching
-    pool, i_batch = None, 0
+    pool, pool_dict, i_batch = None, None, 0
     if use_batching:
         pool = trainer.build_ray_pool()
 
@@ -678,7 +770,30 @@ def train_loop(args, scene: Scene, n_iters: Optional[int] = None, log_fn=print):
 
     i = start
     while i <= n_iters:
-        if use_batching or spd <= 1:
+        if use_batching and spd > 1:
+            # scanned span over the device pool, stopping at periodic-event
+            # and epoch boundaries
+            if pool_dict is None:
+                pool_dict = {
+                    "rays_o": pool[:, 0], "rays_d": pool[:, 1],
+                    "target": pool[:, 2],
+                }
+            end = n_iters
+            for e in (args.i_print, args.i_weights, args.i_video, args.i_testset):
+                if e and e > 0:
+                    end = min(end, ((i - 1) // e + 1) * e)
+            end = min(end, i + (pool.shape[0] - i_batch) // args.N_rand - 1)
+            if end < i:
+                trainer.key, k_perm = jax.random.split(trainer.key)
+                pool = pool[jax.random.permutation(k_perm, pool.shape[0])]
+                pool_dict, i_batch = None, 0
+                continue
+            metrics = trainer.run_steps_pool(
+                pool_dict, i_batch, end - i + 1, block_size=spd
+            )
+            i_batch += (end - i + 1) * args.N_rand
+            i = end
+        elif use_batching or spd <= 1:
             if use_batching:
                 batch = trainer.sample_pool(pool, i_batch, args.N_rand)
                 i_batch += args.N_rand

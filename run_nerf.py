@@ -89,30 +89,44 @@ def main_st3d(args):
     rays = rays.shuffled(rng)
     n_rand = args.N_rand
     n_iters = args.N_iters if args.N_iters != 50000 else 200000
+
+    def device_pool(r):
+        pool = {
+            "rays_o": jnp.asarray(r.o),
+            "rays_d": jnp.asarray(r.d),
+            "target": jnp.asarray(r.rgb),
+        }
+        if args.use_depth:
+            pool["target_depth"] = jnp.asarray(r.depth)
+        if args.use_gradient and r.g is not None:
+            pool["target_grad"] = jnp.asarray(r.g)
+        return pool
+
+    pool = device_pool(rays)
+    pool_size = rays.rgb.shape[0]
     i_batch = 0
 
     import time
 
     time0 = time.time()
-    for i in range(trainer.global_step + 1, n_iters + 1):
-        if i_batch + n_rand > rays.rgb.shape[0]:
+    spd = max(1, getattr(args, "steps_per_dispatch", 1))
+    i = trainer.global_step + 1
+    while i <= n_iters:
+        # scanned span: stop at the next periodic event or epoch boundary
+        end = n_iters
+        for e in (args.i_print, args.i_weights, args.i_testset):
+            if e and e > 0:
+                end = min(end, ((i - 1) // e + 1) * e)
+        end = min(end, i + (pool_size - i_batch) // n_rand - 1)
+        if end < i:
             rays = rays.shuffled(rng)
+            pool = device_pool(rays)
             i_batch = 0
-        sl = slice(i_batch, i_batch + n_rand)
-        batch = {
-            "rays_o": jnp.asarray(rays.o[sl]),
-            "rays_d": jnp.asarray(rays.d[sl]),
-            "target": jnp.asarray(rays.rgb[sl]),
-            "near": jnp.full((n_rand,), near, jnp.float32),
-            "far": jnp.full((n_rand,), far, jnp.float32),
-        }
-        if args.use_depth:
-            batch["target_depth"] = jnp.asarray(rays.depth[sl])
-        if args.use_gradient and rays.g is not None:
-            batch["target_grad"] = jnp.asarray(rays.g[sl])
-        i_batch += n_rand
-
-        metrics = trainer.step(batch)
+            continue
+        n = end - i + 1
+        metrics = trainer.run_steps_pool(pool, i_batch, n, block_size=spd)
+        i_batch += n * n_rand
+        i = end
 
         if i % args.i_weights == 0:
             trainer.save(os.path.join(savepath, "{:06d}.ckpt".format(i)))
@@ -121,6 +135,7 @@ def main_st3d(args):
             eval_test_omninerf(trainer, rays_test, H, W, testsavedir)
         if i % args.i_print == 0:
             print(f"[TRAIN] Iter: {i} Loss: {float(metrics['loss'])}  PSNR: {float(metrics['psnr'])}")
+        i += 1
 
     return trainer
 

@@ -1,4 +1,4 @@
-"""Fast-gradient kernels (sort + two-level-prefix-sum segment accumulate,
+"""Fast-gradient kernels (sort + scanned one-hot-matmul segment accumulate,
 hash-encode custom VJP) vs jnp/numpy oracles, run on the CPU backend.
 
 The public `sorted_segment_accumulate` wrapper falls back to XLA scatter-add
@@ -40,11 +40,25 @@ def test_sorted_segment_accumulate_single_hot_row(rng):
     assert np.abs(got).sum() == pytest.approx(200.0)
 
 
+def test_sorted_segment_accumulate_sparse_fallback(rng):
+    """Occupied-row density below P/R must route to the exact-scatter
+    fallback (lax.cond), never silently truncate."""
+    from hashnerf_tpu.kernels.segment_scatter import _sorted_segment_accumulate_tpu
+
+    T = 1 << 16
+    M = 3000  # density 0.046 — blocks of 1024 sorted elements span >> R rows
+    idx = rng.integers(0, T, M).astype(np.int32)
+    vals = rng.normal(size=(M, 2)).astype(np.float32)
+    got = _sorted_segment_accumulate_tpu(jnp.asarray(idx), jnp.asarray(vals), num_rows=T)
+    want = jnp.zeros((T, 2)).at[jnp.asarray(idx)].add(jnp.asarray(vals))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
 def test_sorted_segment_accumulate_large_m_correlated_signs(rng):
-    """ADVICE r1: at large M with same-sign values the running prefix grows
-    O(M); the two-level prefix sum must keep per-row error bounded by the
-    intra-block term, not eps·|global prefix|. Compare small row sums sitting
-    at the END of a huge same-sign stream against a float64 oracle."""
+    """ADVICE r1: large-M, all-same-sign accumulation must not lose small
+    rows to fp32 prefix cancellation (the round-1 formulation did). The
+    one-hot-matmul path accumulates each row from exact 0/1-weighted dot
+    products; compare against a float64 oracle."""
     from hashnerf_tpu.kernels.segment_scatter import _sorted_segment_accumulate_tpu
 
     M, T = 2_000_000, 1024

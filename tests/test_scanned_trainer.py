@@ -94,3 +94,46 @@ def test_train_loop_scanned(tmp_path, scene):
     trainer = train_loop(args, scene, log_fn=logs.append)
     assert trainer.global_step == 40
     assert any("Iter: 40" in str(l) for l in logs)
+
+
+def test_run_steps_pool_consumes_sequentially(scene):
+    """Pool-scanned path (st3d / batching mode): trains, advances the step
+    counter, and consumes pool[offset:offset+n*N_rand] exactly like the
+    sequential host loop's slicing."""
+    import jax
+    import jax.numpy as jnp
+
+    t = Trainer(tiny_args(), scene)
+    n_rand = t.args.N_rand
+    n_pool = n_rand * 12
+    key = jax.random.PRNGKey(0)
+    o = jnp.zeros((n_pool, 3)) + jnp.array([0.0, 0.0, 4.0])
+    d = jax.random.normal(key, (n_pool, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    pool = {
+        "rays_o": o,
+        "rays_d": d,
+        "target": jax.random.uniform(key, (n_pool, 3)),
+    }
+    m = t.run_steps_pool(pool, 0, 8, block_size=4)
+    assert t.global_step == 8
+    assert np.isfinite(float(m["loss"]))
+    # remaining pool span fits 4 more steps from offset 8*n_rand
+    m = t.run_steps_pool(pool, 8 * n_rand, 4, block_size=4)
+    assert t.global_step == 12
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_train_loop_batching_scanned(tmp_path, scene):
+    """train_loop with use_batching + steps_per_dispatch>1 routes through the
+    pool-scanned path, crossing epoch boundaries."""
+    args = tiny_args(no_batching=False, steps_per_dispatch=4)
+    args.basedir = str(tmp_path)
+    args.expname = "pool_scan"
+    args.N_iters = 30
+    args.i_print = 10
+    args.i_weights = 10**9
+    args.i_video = 10**9
+    args.i_testset = 10**9
+    trainer = train_loop(args, scene, n_iters=30)
+    assert trainer.global_step == 30

@@ -60,3 +60,62 @@ def test_sharded_encode_grads_flow(rng):
     np.testing.assert_allclose(
         np.asarray(g_sharded), np.asarray(g_oracle), rtol=1e-4, atol=1e-8
     )
+
+
+def test_table_sharded_full_train_step():
+    """The END-TO-END table-sharded optimization step (encode -> render ->
+    loss -> backward -> RAdam with the reference's two param groups) on a
+    2x4 ("data","model") mesh: runs, is finite, keeps the table (and its
+    RAdam moments) level-sharded, and matches the replicated single-device
+    step numerically."""
+    from jax.sharding import PartitionSpec as P
+    from hashnerf_tpu.parallel.table_sharded import make_table_sharded_trainer
+    from hashnerf_tpu.train.driver import Trainer
+    from hashnerf_tpu.data.synthetic import make_synthetic_scene
+    from tests.test_train_e2e import tiny_args
+
+    scene = make_synthetic_scene(H=32, W=32, n_train=4, n_test=1)
+    args = tiny_args(N_rand=64, N_samples=8, N_importance=8, chunk=1024)
+    args.n_levels = 8
+
+    mesh = make_table_mesh(2, 4)
+    bbox = np.stack(scene.bounding_box)
+    state, opt_state, train_step = make_table_sharded_trainer(
+        mesh, args, jax.random.PRNGKey(5), bbox, scene.near, scene.far
+    )
+
+    # same params on a plain single-device trainer for the numeric oracle
+    ref = Trainer(args, scene, key=jax.random.PRNGKey(11))
+    ref.state = jax.device_put(
+        jax.tree_util.tree_map(np.asarray, state), jax.devices("cpu")[0]
+    )
+    ref.opt_state = ref.optimizer.init(ref.state)
+
+    batch = ref.sample_image(int(scene.i_train[0]), 64, precrop=False)
+    d = batch["rays_d"]
+    batch["viewdirs"] = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    key = jax.random.PRNGKey(7)
+    state2, opt2, m = train_step(state, opt_state, dict(batch), key)
+    assert np.isfinite(float(m["loss"]))
+
+    # sharding preserved end-to-end (params AND moments)
+    spec = state2.hash_table.sharding.spec
+    assert spec == P("model", None, None) or spec == P("model")
+    moment_leaves = [
+        x for x in jax.tree_util.tree_leaves(opt2)
+        if getattr(x, "shape", None) == state2.hash_table.shape
+    ]
+    assert moment_leaves
+    for leaf in moment_leaves:
+        assert leaf.sharding.spec[0] == "model"
+
+    # numeric equality with the single-device step (same key, same batch)
+    s_ref, o_ref, m_ref = ref._train_step_no_tv(
+        ref.state, ref.opt_state, batch, key, jnp.float32(0.0), None
+    )
+    np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(state2.hash_table), np.asarray(s_ref.hash_table),
+        rtol=1e-4, atol=1e-7,
+    )
