@@ -114,11 +114,18 @@ def _spherify_poses(poses, bds):
     return poses_reset, new_poses, bds
 
 
-def _minify(basedir: str, factor: int) -> str:
-    """Create the images_{factor} cache with PIL (replaces ImageMagick)."""
+def _minify(
+    basedir: str,
+    factor: Optional[int] = None,
+    resolution: Optional[tuple] = None,
+) -> str:
+    """Create the images_{factor} / images_{W}x{H} cache with PIL (replaces
+    ImageMagick mogrify; reference load_llff.py:10-59 supports both integer
+    factors and target resolutions)."""
     from PIL import Image
 
-    imgdir = os.path.join(basedir, f"images_{factor}")
+    name = f"images_{factor}" if factor else "images_{}x{}".format(*resolution)
+    imgdir = os.path.join(basedir, name)
     if os.path.exists(imgdir):
         return imgdir
     srcdir = os.path.join(basedir, "images")
@@ -129,12 +136,18 @@ def _minify(basedir: str, factor: int) -> str:
     for f in files:
         img = Image.open(os.path.join(srcdir, f))
         w, h = img.size
-        img = img.resize((int(w / factor), int(h / factor)), Image.LANCZOS)
+        target = (int(w / factor), int(h / factor)) if factor else resolution
+        img = img.resize(target, Image.LANCZOS)
         img.save(os.path.join(imgdir, os.path.splitext(f)[0] + ".png"))
     return imgdir
 
 
-def _load_data(basedir: str, factor: Optional[int] = None):
+def _load_data(
+    basedir: str,
+    factor: Optional[int] = None,
+    width: Optional[int] = None,
+    height: Optional[int] = None,
+):
     import imageio.v2 as imageio
 
     poses_arr = np.load(os.path.join(basedir, "poses_bounds.npy"))
@@ -142,7 +155,24 @@ def _load_data(basedir: str, factor: Optional[int] = None):
     bds = poses_arr[:, -2:].transpose([1, 0])
 
     if factor is not None and factor != 1:
-        imgdir = _minify(basedir, factor)
+        imgdir = _minify(basedir, factor=factor)
+    elif width is not None or height is not None:
+        # target resolution (reference load_llff.py:83-91): derive the
+        # missing dimension from the original aspect ratio
+        import imageio.v2 as _iio
+
+        sh0 = _iio.imread(
+            os.path.join(basedir, "images", sorted(
+                f for f in os.listdir(os.path.join(basedir, "images"))
+                if f.split(".")[-1] in _IMG_EXT
+            )[0])
+        ).shape
+        if width is None:
+            width = int(sh0[1] * height / sh0[0])
+        if height is None:
+            height = int(sh0[0] * width / sh0[1])
+        factor = sh0[1] / float(width)
+        imgdir = _minify(basedir, resolution=(width, height))
     else:
         factor = 1
         imgdir = os.path.join(basedir, "images")

@@ -112,6 +112,12 @@ def test_llff_minify(tmp_path):
     out = imageio.imread(os.path.join(d, "im0.png"))
     assert out.shape[:2] == (16, 24)
 
+    # target-resolution variant (reference load_llff.py:83-91)
+    d2 = _minify(str(tmp_path), resolution=(12, 8))
+    assert d2.endswith("images_12x8")
+    out2 = imageio.imread(os.path.join(d2, "im0.png"))
+    assert out2.shape[:2] == (8, 12)
+
 
 def test_ply_bounds_ascii(tmp_path):
     from hashnerf_tpu.data.scannet import ply_vertex_bounds
