@@ -60,11 +60,13 @@ def _kernel(bounds_ref, sidx_ref, svals_ref, out_ref, idx_buf, vals_buf, sem):
 
     def body(c, _):
         base = pl.multiple_of(abase + c * P, P)
+        # both element arrays are laid out with the element axis LAST so the
+        # dynamic slice offset lands on the 128-tiled lane dimension
         cp_idx = pltpu.make_async_copy(
             sidx_ref.at[:, pl.ds(base, P)], idx_buf, sem.at[0]
         )
         cp_vals = pltpu.make_async_copy(
-            svals_ref.at[pl.ds(base, P), :], vals_buf, sem.at[1]
+            svals_ref.at[:, pl.ds(base, P)], vals_buf, sem.at[1]
         )
         cp_idx.start()
         cp_vals.start()
@@ -77,9 +79,10 @@ def _kernel(bounds_ref, sidx_ref, svals_ref, out_ref, idx_buf, vals_buf, sem):
         oh = jnp.where(
             (local[None, :] == row_ids) & valid, 1.0, 0.0
         ).astype(jnp.float32)  # (R, P) exact 0/1
+        # (R, P) x (F, P) contracted on P -> (R, F)
         out_ref[...] += jax.lax.dot_general(
             oh, vals_buf[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return _
@@ -90,12 +93,14 @@ def _kernel(bounds_ref, sidx_ref, svals_ref, out_ref, idx_buf, vals_buf, sem):
 @functools.partial(jax.jit, static_argnames=("num_rows", "interpret"))
 def segment_accumulate_sorted(
     sidx: jnp.ndarray,  # (M,) int32, SORTED ascending, all in [0, num_rows)
-    svals: jnp.ndarray,  # (M, F) float32, same order
+    svals_fm: jnp.ndarray,  # (F, M) float32, same element order (lane-major)
     num_rows: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """out[r] = sum of svals rows where sidx == r. Requires sorted sidx."""
-    M, F = svals.shape
+    """out[r] = sum over elements j with sidx[j] == r of svals_fm[:, j].
+    Requires sorted sidx; values are passed element-axis-last so in-kernel
+    DMA slices land on the 128-tiled lane dimension."""
+    F, M = svals_fm.shape
     R, P = _R, _CHUNK
 
     nw = -(-num_rows // R)
@@ -108,7 +113,9 @@ def segment_accumulate_sorted(
         sidx, jnp.arange(nw + 1, dtype=jnp.int32) * R, side="left"
     ).astype(jnp.int32)
     sidx_p = jnp.concatenate([sidx, jnp.zeros((P,), sidx.dtype)])[None, :]
-    svals_p = jnp.concatenate([svals, jnp.zeros((P, F), svals.dtype)])
+    svals_p = jnp.concatenate(
+        [svals_fm, jnp.zeros((F, P), svals_fm.dtype)], axis=1
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -120,7 +127,7 @@ def segment_accumulate_sorted(
         out_specs=pl.BlockSpec((R, F), lambda w, bounds: (w, 0)),
         scratch_shapes=[
             pltpu.VMEM((1, P), jnp.int32),
-            pltpu.VMEM((P, F), jnp.float32),
+            pltpu.VMEM((F, P), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

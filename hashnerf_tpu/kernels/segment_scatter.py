@@ -71,7 +71,7 @@ def _sorted_segment_accumulate_tpu(
         (idx.astype(jnp.int32),) + tuple(vals[:, f] for f in range(F)),
         num_keys=1,
     )
-    sidx, svals = ops[0], jnp.stack(ops[1:], axis=-1)  # (M,), (M, F)
+    sidx, svals_fm = ops[0], jnp.stack(ops[1:], axis=0)  # (M,), (F, M)
     return segment_accumulate_sorted(
-        sidx, svals, num_rows, interpret=jax.default_backend() != "tpu"
+        sidx, svals_fm, num_rows, interpret=jax.default_backend() != "tpu"
     )
