@@ -124,3 +124,30 @@ def equirect_directions(H: int, W: int) -> np.ndarray:
     a1 = np.broadcast_to(np.sin(theta), (H, W))
     a2 = -np.cos(theta) * np.sin(phi)
     return np.stack([a0, a1, a2], axis=-1).astype(np.float32)
+
+
+def ray_aabb_near_far(rays_o, rays_d, bbox, near, far):
+    """Tighten per-ray [near, far] to the ray's bbox intersection (slab test).
+
+    TPU-native sampling improvement (no reference counterpart — the
+    reference marches the full fixed [near, far] range, run_nerf_helpers.py
+    :514-536, and wastes most stratified samples outside the scene bbox).
+    Rays that miss the bbox collapse to a degenerate interval at `near`
+    whose samples are out-of-bbox → sigma 0 → transparent, identical
+    compositing semantics. Opt-in via --aabb_clip / RenderConfig.aabb_clip.
+
+    rays_o/rays_d: (R, 3); bbox: (2, 3); near/far: (R,). Returns (near', far').
+    """
+    import jax.numpy as _jnp
+
+    inv = _jnp.where(_jnp.abs(rays_d) > 1e-10, 1.0 / rays_d, 1e10)
+    t1 = (bbox[0] - rays_o) * inv
+    t2 = (bbox[1] - rays_o) * inv
+    tmin = _jnp.max(_jnp.minimum(t1, t2), axis=-1)
+    tmax = _jnp.min(_jnp.maximum(t1, t2), axis=-1)
+    lo = _jnp.clip(tmin, near, far)
+    hi = _jnp.clip(tmax, near, far)
+    hit = tmax > _jnp.maximum(tmin, 0.0)
+    new_near = _jnp.where(hit, lo, near)
+    new_far = _jnp.where(hit, _jnp.maximum(hi, lo + 1e-4), near + 1e-3)
+    return new_near, new_far

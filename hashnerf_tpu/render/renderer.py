@@ -35,6 +35,9 @@ class RenderConfig:
     retraw: bool = False
     # Occupancy-grid sample culling (None = reference-exact full evaluation).
     occupancy: Optional["OccupancyConfig"] = None
+    # Tighten per-ray [near, far] to the bbox intersection before sampling
+    # (ops/rays.py ray_aabb_near_far; off = reference-exact z ranges).
+    aabb_clip: bool = False
 
     def eval_mode(self) -> "RenderConfig":
         """perturb off, noise off (reference run_nerf_helpers.py:196-198)."""
@@ -64,6 +67,10 @@ def render_rays(
     R = rays_o.shape[0]
     near = jnp.broadcast_to(jnp.asarray(near, rays_o.dtype), (R,))
     far = jnp.broadcast_to(jnp.asarray(far, rays_o.dtype), (R,))
+    if cfg.aabb_clip:
+        from hashnerf_tpu.ops.rays import ray_aabb_near_far
+
+        near, far = ray_aabb_near_far(rays_o, rays_d, bbox, near, far)
 
     if cfg.occupancy is not None and occ_grid is not None:
         from hashnerf_tpu.render.occupancy import query_with_culling

@@ -125,6 +125,10 @@ def config_parser() -> argparse.ArgumentParser:
                         help="N>1: shard rays over an N-device data-parallel "
                         "mesh (params replicated, grads all-reduced over "
                         "ICI); 0/1 = single device")
+    parser.add_argument("--aabb_clip", action="store_true",
+                        help="tighten per-ray [near,far] to the bbox "
+                        "intersection before sampling (all samples land "
+                        "in-scene; off = reference-exact z ranges)")
     parser.add_argument("--share_fine", action="store_true",
                         help="single network for coarse+fine passes "
                         "(Instant-NGP style; halves params, both passes "
@@ -151,6 +155,7 @@ PRESETS = {
         "--use_occupancy",
         "--occ_keep_fraction", "0.25",
         "--share_fine",
+        "--aabb_clip",
         "--steps_per_dispatch", "16",
     ],
 }

@@ -78,6 +78,7 @@ def render_config_from_args(args, ndc: bool = False, lindisp: bool = False) -> R
         ndc=ndc,
         use_viewdirs=args.use_viewdirs,
         occupancy=occupancy,
+        aabb_clip=getattr(args, "aabb_clip", False) and not ndc,
     )
 
 

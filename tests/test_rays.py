@@ -83,3 +83,41 @@ def test_blender_bbox_contains_origin():
     bmin, bmax = get_bbox3d_for_blenderobj(transforms, 64, 64, near=2.0, far=6.0)
     assert np.all(bmin < 0) and np.all(bmax > 0)
     assert np.all(bmax - bmin > 2.0)
+
+
+def test_ray_aabb_near_far():
+    import jax.numpy as jnp
+    from hashnerf_tpu.ops.rays import ray_aabb_near_far
+
+    bbox = jnp.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    o = jnp.array([[0.0, 0.0, 4.0], [0.0, 0.0, 4.0], [3.0, 3.0, 4.0]])
+    d = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])
+    near = jnp.full((3,), 2.0)
+    far = jnp.full((3,), 6.0)
+    n2, f2 = ray_aabb_near_far(o, d, bbox, near, far)
+    # ray 0 passes through the box: [3, 5]
+    np.testing.assert_allclose(np.asarray(n2[0]), 3.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(f2[0]), 5.0, rtol=1e-5)
+    # ray 1 points away: degenerate interval at near
+    assert float(f2[1] - n2[1]) < 0.01
+    # ray 2 misses laterally: degenerate
+    assert float(f2[2] - n2[2]) < 0.01
+    # intervals stay ordered and inside [near, far]
+    assert float(n2.min()) >= 2.0 and float(f2.max()) <= 6.0
+
+
+def test_aabb_clip_training_is_finite_and_learns():
+    import jax.numpy as jnp
+    from hashnerf_tpu.data.synthetic import make_synthetic_scene
+    from hashnerf_tpu.train.driver import Trainer
+    from tests.test_train_e2e import tiny_args
+
+    scene = make_synthetic_scene(H=24, W=24, n_train=3, n_test=1)
+    args = tiny_args(N_rand=64, N_samples=8, N_importance=8)
+    args.aabb_clip = True
+    t = Trainer(args, scene)
+    assert t.render_cfg.aabb_clip
+    m1 = t.run_steps(8, block_size=4)
+    m2 = t.run_steps(56, block_size=8)
+    assert np.isfinite(float(m2["loss"]))
+    assert float(m2["psnr"]) > float(m1["psnr"])
