@@ -51,13 +51,15 @@ def main():
     args.white_bkgd = True
     args.no_batching = True
     if not os.environ.get("QB_PARITY"):
-        args.n_levels = 8
-        args.n_features_per_level = 4
+        args.n_levels = int(os.environ.get("QB_L", "8"))
+        args.n_features_per_level = int(os.environ.get("QB_F", "4"))
         args.share_fine = True
         args.compute_dtype = "bfloat16"
         args.use_occupancy = True
-        args.occ_keep_fraction = 0.25
+        args.occ_keep_fraction = float(os.environ.get("QB_KEEP", "0.25"))
         args.occ_warmup = 64
+        args.aabb_clip = bool(int(os.environ.get("QB_AABB", "0")))
+        args.N_rand = int(os.environ.get("QB_NRAND", str(args.N_rand)))
 
     n_iters = int(os.environ.get("QB_ITERS", "1536"))
     block = int(os.environ.get("QB_BLOCK", "128"))
@@ -97,16 +99,19 @@ def main():
                 iters_to_30 = round(prev["iter"] + f * (pt["iter"] - prev["iter"]))
         prev = pt
 
+    tag = os.environ.get("QB_TAG", "")
     result = {
         "metric": "test_psnr_at_%d" % n_iters,
         "value": round(curve[-1]["test_psnr"], 2),
         "unit": "dB",
         "iters_to_psnr30": iters_to_30,
         "wall_s": curve[-1]["wall_s"],
-        "mode": "parity" if os.environ.get("QB_PARITY") else "tpu-fast",
+        "mode": tag or ("parity" if os.environ.get("QB_PARITY") else "tpu-fast"),
+        "N_rand": args.N_rand,
         "curve": curve,
     }
-    with open(os.path.join(REPO, "BENCH_QUALITY.json"), "w") as f:
+    fname = f"BENCH_QUALITY{('_' + tag) if tag else ''}.json"
+    with open(os.path.join(REPO, fname), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "curve"}))
 

@@ -70,7 +70,13 @@ def sample_pdf(
         else:
             u = jax.random.uniform(key, cdf.shape[:-1] + (N_samples,))
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # searchsorted(side='right') == count of cdf entries <= u. With only
+    # M ≈ 64-192 bins a dense compare-reduce is ~10x faster on the VPU than
+    # XLA's per-query binary-search searchsorted (measured 12 ms -> ~1 ms at
+    # 1024x128 on the v5e; tools/tpu_fwd_profile.py).
+    inds = jnp.sum(
+        (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
+    )
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 
