@@ -139,7 +139,11 @@ def main():
 
     reps = int(os.environ.get("BENCH_REPS", "2"))
     note = ""
-    for block in (int(os.environ.get("BENCH_BLOCK", "256")), 64, 16, 4):
+    # Single dispatches must stay under the TPU runtime's execution watchdog
+    # (~1-2 min kills the worker — the round-1 crash): the parity path runs
+    # ~10-20x more device work per step, so its default block is smaller.
+    default_block = "16" if os.environ.get("BENCH_PARITY") else "256"
+    for block in (int(os.environ.get("BENCH_BLOCK", default_block)), 64, 16, 4):
         try:
             emit(measure_block(trainer, args, block, reps), note)
             return

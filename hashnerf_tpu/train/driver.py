@@ -521,6 +521,12 @@ class Trainer:
 
             b = min(k, block_size)
             if occ_mode is not None:
+                if occ_mode == "update":
+                    # Unculled warmup steps are ~10x slower than culled ones;
+                    # cap the block so a single XLA dispatch stays well under
+                    # the TPU runtime's execution watchdog (~1-2 min kills
+                    # the worker — the round-1 BENCH crash, VERDICT.md).
+                    b = min(b, occ_cfg.update_every)
                 b = (b // occ_cfg.update_every) * occ_cfg.update_every
             if b == 0:
                 # sub-update_every remainder: fall back to single host steps
