@@ -66,12 +66,22 @@ def _sorted_segment_accumulate_tpu(
     num_rows: int,
 ) -> jnp.ndarray:
     M, F = vals.shape
-    # Multi-operand sort: values ride through the sort network with the keys.
-    ops = jax.lax.sort(
-        (idx.astype(jnp.int32),) + tuple(vals[:, f] for f in range(F)),
-        num_keys=1,
-    )
-    sidx, svals_fm = ops[0], jnp.stack(ops[1:], axis=0)  # (M,), (F, M)
+    if F <= 4:
+        # Multi-operand sort: values ride through the sort network with the
+        # keys (cheaper than a separate permute-gather for few columns).
+        ops = jax.lax.sort(
+            (idx.astype(jnp.int32),) + tuple(vals[:, f] for f in range(F)),
+            num_keys=1,
+        )
+        sidx, svals_fm = ops[0], jnp.stack(ops[1:], axis=0)  # (M,), (F, M)
+    else:
+        # Wide F: sort cost grows per carried operand (~2 ns/elt each), so a
+        # 2-operand sort + one row-gather permute (~7 ns/row regardless of
+        # width, tpu_microbench2) wins beyond F ≈ 4-6.
+        sidx, perm = jax.lax.sort(
+            (idx.astype(jnp.int32), jnp.arange(M, dtype=jnp.int32)), num_keys=1
+        )
+        svals_fm = jnp.take(vals, perm, axis=0).T
     return segment_accumulate_sorted(
         sidx, svals_fm, num_rows, interpret=jax.default_backend() != "tpu"
     )

@@ -114,3 +114,15 @@ def test_hash_encode_fast_backward_matches_autodiff(rng):
     np.testing.assert_allclose(
         np.asarray(g_fast), np.asarray(g_oracle), rtol=1e-4, atol=1e-7
     )
+
+
+def test_sorted_segment_accumulate_wide_f(rng):
+    """F>4 routes through the 2-op sort + permute path; stays exact."""
+    from hashnerf_tpu.kernels.segment_scatter import _sorted_segment_accumulate_tpu
+
+    T, M = 2048, 4000
+    idx = rng.integers(0, T, M).astype(np.int32)
+    vals = rng.normal(size=(M, 8)).astype(np.float32)
+    got = _sorted_segment_accumulate_tpu(jnp.asarray(idx), jnp.asarray(vals), num_rows=T)
+    want = jnp.zeros((T, 8)).at[jnp.asarray(idx)].add(jnp.asarray(vals))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
