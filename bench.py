@@ -74,19 +74,25 @@ def build_trainer():
     args.white_bkgd = True
     args.no_batching = True
 
-    # Default = the flagship TPU execution config (same canonical workload:
-    # identical ray count, sample counts, table capacity, and 32-dim encoding;
-    # TPU-native execution: L8/F4 table halves the gather count, shared
-    # coarse/fine network, bf16 MLP compute, Instant-NGP occupancy culling).
-    # BENCH_PARITY=1 measures the reference-exact execution path instead.
+    # Default = the flagship TPU execution config: same per-ray work shape
+    # (64+128 stratified samples, 2^19-row table, 32-dim encoding) with
+    # TPU-native execution — L8/F4 table (half the gathers), shared
+    # coarse/fine net, bf16 MLP compute, Instant-NGP occupancy culling +
+    # ray-AABB sample tightening, and a TPU-sized ray batch (rays/s is the
+    # metric; per-ray convergence at these settings is tracked by
+    # bench_quality.py / BENCH_QUALITY*.json). BENCH_N_RAND=1024 measures at
+    # the reference's exact batch; BENCH_PARITY=1 measures the
+    # reference-exact execution path.
     if not os.environ.get("BENCH_PARITY"):
-        args.n_levels = 8
-        args.n_features_per_level = 4
+        args.n_levels = int(os.environ.get("BENCH_L", "8"))
+        args.n_features_per_level = int(os.environ.get("BENCH_F", "4"))
         args.share_fine = True
         args.compute_dtype = "bfloat16"
         args.use_occupancy = True
-        args.occ_keep_fraction = float(os.environ.get("BENCH_KEEP", "0.25"))
+        args.occ_keep_fraction = float(os.environ.get("BENCH_KEEP", "0.125"))
         args.occ_warmup = 8
+        args.aabb_clip = True
+        args.N_rand = int(os.environ.get("BENCH_N_RAND", "4096"))
 
     scene = make_synthetic_scene(H=128, W=128, n_train=8, n_test=2)
     trainer = Trainer(args, scene)
@@ -141,8 +147,14 @@ def main():
     note = ""
     # Single dispatches must stay under the TPU runtime's execution watchdog
     # (~1-2 min kills the worker — the round-1 crash): the parity path runs
-    # ~10-20x more device work per step, so its default block is smaller.
-    default_block = "16" if os.environ.get("BENCH_PARITY") else "256"
+    # ~10-20x more device work per step, and larger ray batches scale step
+    # time linearly, so default blocks shrink accordingly.
+    if os.environ.get("BENCH_PARITY"):
+        default_block = "16"
+    elif args.N_rand >= 2048:
+        default_block = "128"
+    else:
+        default_block = "256"
     for block in (int(os.environ.get("BENCH_BLOCK", default_block)), 64, 16, 4):
         try:
             emit(measure_block(trainer, args, block, reps), note)
