@@ -96,6 +96,10 @@ def build_trainer():
         args.occ_warmup = 8
         args.aabb_clip = True
         args.N_rand = int(os.environ.get("BENCH_N_RAND", "4096"))
+        # Corner-packed table layout (ops/packed_grid.py): 1 row fetch per
+        # (sample, level) instead of 8 — the round-3 forward-gather lever.
+        # BENCH_PACKED=0 measures the round-2 per-corner hash layout.
+        args.packed_layout = bool(int(os.environ.get("BENCH_PACKED", "1")))
 
     scene = make_synthetic_scene(H=128, W=128, n_train=8, n_test=2)
     trainer = Trainer(args, scene)

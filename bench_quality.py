@@ -60,6 +60,8 @@ def main():
         args.occ_warmup = 64
         args.aabb_clip = bool(int(os.environ.get("QB_AABB", "0")))
         args.N_rand = int(os.environ.get("QB_NRAND", str(args.N_rand)))
+        # corner-packed table layout (ops/packed_grid.py)
+        args.packed_layout = bool(int(os.environ.get("QB_PACKED", "0")))
 
     n_iters = int(os.environ.get("QB_ITERS", "1536"))
     block = int(os.environ.get("QB_BLOCK", "128"))

@@ -5,6 +5,15 @@ plus its helpers (_minify :10, _load_data :64, poses_avg :142,
 render_path_spiral :155, recenter_poses :168, spherify_poses :186). The
 ImageMagick `mogrify` downsampling cache is replaced by PIL area resampling —
 same `images_{factor}` cache directory layout, no external binary.
+
+Provenance note: the pose-path math (_viewmatrix / _poses_avg /
+_render_path_spiral / _recenter_poses / _spherify_poses) transliterates the
+canonical Fyusion/LLFF pose conventions as vendored by the reference at
+/root/reference/load/load_llff.py:127-242 — including the magic constants
+([.1, .2, .3] focus-depth jitter, percentile-90 spiral radii, zrate 0.5).
+These define the LLFF data format's coordinate conventions and must match
+numerically for poses_bounds.npy files to load identically; they are
+format-defining constants, not design choices of this framework.
 """
 from __future__ import annotations
 

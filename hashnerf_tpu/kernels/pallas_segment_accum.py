@@ -121,8 +121,8 @@ def segment_accumulate_sorted(
         num_scalar_prefetch=1,
         grid=(nw,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # sidx (1, M+P) in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # svals (M+P, F) in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # sidx (1, M+P) in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # svals (M+P, F) in HBM
         ],
         out_specs=pl.BlockSpec((R, F), lambda w, bounds: (w, 0)),
         scratch_shapes=[

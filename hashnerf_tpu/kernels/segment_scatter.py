@@ -2,7 +2,7 @@
 
 WHY: the backward of the hash-grid gather is a scatter-add of M ≈ 1-25M
 (row, F-vector) updates into a T ≈ 4M-row table. Measured on the v5e
-(tools/tpu_microbench.py, chair scale M=12.6M, T=4.2M):
+(tools/tpu_lab.py micro, chair scale M=12.6M, T=4.2M):
 
     XLA scatter-add                          1056 ms  (serialized row updates)
     round-1 sort + prefix-sum-difference     1078 ms  (747 ms of it: XLA
@@ -77,7 +77,7 @@ def _sorted_segment_accumulate_tpu(
     else:
         # Wide F: sort cost grows per carried operand (~2 ns/elt each), so a
         # 2-operand sort + one row-gather permute (~7 ns/row regardless of
-        # width, tpu_microbench2) wins beyond F ≈ 4-6.
+        # width, tpu_lab micro) wins beyond F ≈ 4-6.
         sidx, perm = jax.lax.sort(
             (idx.astype(jnp.int32), jnp.arange(M, dtype=jnp.int32)), num_keys=1
         )

@@ -64,10 +64,31 @@ class ModelConfig:
     share_fine: bool = False
     hash_grid: HashGridConfig = dataclasses.field(default_factory=HashGridConfig)
     compute_dtype: Optional[str] = None  # e.g. "bfloat16" for MXU-friendly MLPs
-    # Fast table-gradient path (sort + prefix-sum-difference segment
-    # accumulate instead of XLA scatter-add, kernels/segment_scatter.py).
-    # None = auto: on for TPU.
+    # Fast table-gradient path (multi-operand sort + Pallas aligned-window
+    # MXU accumulation instead of XLA scatter-add, kernels/segment_scatter.py
+    # -> kernels/pallas_segment_accum.py). None = auto: on for TPU.
     fast_hash_grad: Optional[bool] = None
+    # Corner-packed table layout (ops/packed_grid.py): dense direct-indexed
+    # coarse levels + block-hashed 27-vertex-slab fine levels — ONE row fetch
+    # per (sample, level) instead of 8. Changes the parameter pytree
+    # (hash_table becomes {"dense","fine"}); off = reference-exact layout.
+    packed_layout: bool = False
+    log2_blocks: int = -1  # packed fine rows/level; -1 = log2_hashmap_size-3
+
+    @property
+    def packed_grid(self) -> "PackedGridConfig":
+        from hashnerf_tpu.ops.packed_grid import PackedGridConfig
+
+        h = self.hash_grid
+        b = self.log2_blocks if self.log2_blocks > 0 else h.log2_hashmap_size - 3
+        return PackedGridConfig(
+            n_levels=h.n_levels,
+            n_features_per_level=h.n_features_per_level,
+            log2_hashmap_size=h.log2_hashmap_size,
+            base_resolution=h.base_resolution,
+            finest_resolution=h.finest_resolution,
+            log2_blocks=b,
+        )
 
     @property
     def _compute_dtype(self):
@@ -92,6 +113,13 @@ def _point_encoder(cfg: ModelConfig) -> Tuple[Callable, int]:
             lambda state, x, bb: (positional_encode(x, pcfg), jnp.ones(x.shape[:-1], bool))
         ), pcfg.out_dim
     if cfg.i_embed == EMBED_HASH:
+        if cfg.packed_layout:
+            from hashnerf_tpu.ops.packed_grid import packed_encode
+
+            pcfg = cfg.packed_grid
+            return (
+                lambda state, x, bb: packed_encode(state.hash_table, x, bb[0], bb[1], pcfg)
+            ), pcfg.out_dim
         hcfg = cfg.hash_grid
         fast = cfg.fast_hash_grad
         if fast is None:
@@ -164,7 +192,12 @@ def create_model(key: jax.Array, cfg: ModelConfig, pt_encoder: Optional[Callable
         apply_fn = lambda p, x: apply_nerf_small(p, x, mlp_cfg, cfg._compute_dtype)
         fine_init_fn = init_fn
         fine_apply_fn = apply_fn
-        table = init_hash_table(k_table, cfg.hash_grid)
+        if cfg.packed_layout:
+            from hashnerf_tpu.ops.packed_grid import init_packed_tables
+
+            table = init_packed_tables(k_table, cfg.packed_grid)
+        else:
+            table = init_hash_table(k_table, cfg.hash_grid)
     else:
         output_ch = 5 if cfg.N_importance > 0 else 4
         ncfg = NeRFConfig(

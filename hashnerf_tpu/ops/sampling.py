@@ -73,7 +73,7 @@ def sample_pdf(
     # searchsorted(side='right') == count of cdf entries <= u. With only
     # M ≈ 64-192 bins a dense compare-reduce is ~10x faster on the VPU than
     # XLA's per-query binary-search searchsorted (measured 12 ms -> ~1 ms at
-    # 1024x128 on the v5e; tools/tpu_fwd_profile.py).
+    # 1024x128 on the v5e; tools/tpu_lab.py probes).
     inds = jnp.sum(
         (cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32), axis=-1
     )

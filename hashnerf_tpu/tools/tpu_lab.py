@@ -1,0 +1,376 @@
+"""TPU measurement lab — ONE parameterized harness for all on-chip work.
+
+Replaces the round-1/2 scratch drivers (tpu_diag, tpu_microbench[2],
+tpu_fwd_profile, tpu_eval2/4, tpu_eval_all) whose committed artifacts live in
+PROFILE_r02.txt / FWDPROFILE_r02.txt / BENCH_QUALITY_*.json. Each fresh
+process pays a 6-15 min TPU attach in this environment, so chain any number
+of stages in one invocation; every line is flushed immediately.
+
+Usage:
+    python -m hashnerf_tpu.tools.tpu_lab STAGE [STAGE...]
+
+Stages:
+    diag            staged bring-up: dispatch latency, single step, scan blocks
+    micro           primitive microbench (sort/gather/segment-accumulate/
+                    scatter/top_k/MLP/RAdam) + packed-vs-hash encode probes
+    probes          forward-pass decomposition at true shapes
+    variants        amortized rays/s for flagship config variants
+    bench           repo-root bench.py (writes the JSON line)
+    quality:TAG     PSNR curve; TAG in QUALITY_CONFIGS below
+                    (e.g. quality:safe4096 quality:parity768 quality:packed4096)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[lab +{time.time() - T0:7.1f}s] {msg}", flush=True)
+
+
+def timeit(fn, *args, reps=3):
+    """Median of `reps` timed calls after one warmup; closes each timing
+    region with a host fetch (block_until_ready does not sync on axon)."""
+    import jax
+    import jax.numpy as jnp
+
+    def sync(out):
+        float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+
+    sync(fn(*args))
+    ts = []
+    for _ in range(reps):
+        t = time.perf_counter()
+        sync(fn(*args))
+        ts.append(time.perf_counter() - t)
+    ts.sort()
+    return ts[len(ts) // 2] * 1e3  # ms
+
+
+def bench_args(**over):
+    """The flagship bench config (mirrors bench.py defaults)."""
+    from hashnerf_tpu.train.config import config_parser
+
+    args = config_parser().parse_args([])
+    args.N_rand = 1024
+    args.N_samples = 64
+    args.N_importance = 128
+    args.finest_res = 512
+    args.log2_hashmap_size = 19
+    args.lrate = 0.01
+    args.lrate_decay = 10
+    args.use_viewdirs = True
+    args.white_bkgd = True
+    args.no_batching = True
+    args.n_levels = 8
+    args.n_features_per_level = 4
+    args.share_fine = True
+    args.compute_dtype = "bfloat16"
+    args.use_occupancy = True
+    args.occ_keep_fraction = 0.25
+    args.occ_warmup = 8
+    for k, v in over.items():
+        setattr(args, k, v)
+    return args
+
+
+def _scene():
+    from hashnerf_tpu.data.synthetic import make_synthetic_scene
+
+    return make_synthetic_scene(H=128, W=128, n_train=8, n_test=2)
+
+
+# --------------------------------------------------------------------------- #
+def stage_diag():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def f(x):
+        return (x @ x).sum()
+
+    x = jnp.ones((1024, 1024))
+    t = time.time()
+    float(f(x))
+    log(f"matmul compile+run: {time.time() - t:.2f}s")
+    for i in range(3):
+        t = time.time()
+        float(f(x))
+        log(f"matmul dispatch {i}: {time.time() - t:.2f}s")
+
+    from hashnerf_tpu.train.driver import Trainer
+
+    tr = Trainer(bench_args(), _scene())
+    tr.global_step = 1001
+    batch = tr._host_sample(False)
+    t = time.time()
+    float(tr.step(batch)["loss"])
+    log(f"single step compile+run: {time.time() - t:.2f}s")
+    t = time.time()
+    float(tr.step(tr._host_sample(False))["loss"])
+    log(f"single step dispatch: {time.time() - t:.2f}s")
+    for n in (4, 32):
+        t = time.time()
+        float(tr.run_steps(n, block_size=n)["loss"])
+        log(f"scan{n} compile+run: {time.time() - t:.2f}s")
+        t = time.time()
+        float(tr.run_steps(n, block_size=n)["loss"])
+        dt = time.time() - t
+        log(f"scan{n} dispatch: {dt:.2f}s = {n * tr.args.N_rand / dt:.0f} rays/s")
+
+
+# --------------------------------------------------------------------------- #
+def stage_micro():
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    N = 1024 * 192
+    L, F, T = 8, 4, 1 << 19
+    M = L * N * 8  # per-corner backward elements (12.6M)
+
+    idx = jax.random.randint(key, (M,), 0, L * T, dtype=jnp.int32)
+    vals = jax.random.normal(key, (M, F), dtype=jnp.float32)
+
+    f = jax.jit(lambda i: jax.lax.sort((i, jnp.arange(M, dtype=jnp.int32)), num_keys=1))
+    log(f"sort (idx,iota) M={M/1e6:.1f}M:   {timeit(f, idx):8.1f} ms")
+
+    from hashnerf_tpu.kernels.segment_scatter import _sorted_segment_accumulate_tpu
+
+    f = jax.jit(lambda i, v: _sorted_segment_accumulate_tpu(i, v, num_rows=L * T))
+    log(f"segment_accumulate M={M/1e6:.1f}M: {timeit(f, idx, vals):8.1f} ms")
+
+    # packed-layout backward shape: M/8 elements, wide rows
+    Mp = M // 8
+    for W, rows, tag in ((32, 470_000, "dense8F"), (108, 1 << 18, "fine27F")):
+        ip = jax.random.randint(key, (Mp,), 0, rows, dtype=jnp.int32)
+        vp = jax.random.normal(key, (Mp, W), dtype=jnp.float32)
+        f = jax.jit(lambda i, v: _sorted_segment_accumulate_tpu(i, v, num_rows=rows))
+        log(f"segment_accum packed {tag} M={Mp/1e6:.1f}M W={W}: {timeit(f, ip, vp):8.1f} ms")
+
+    # gather fetch-rate vs row width (fixed fetch count)
+    Ng = 3_145_728
+    for Tg, W in [(1 << 19, 4), (1 << 16, 32), (1 << 16, 108)]:
+        tbl = jax.random.normal(key, (Tg, W), jnp.float32)
+        ig = jax.random.randint(key, (Ng,), 0, Tg, jnp.int32)
+        f = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
+        dt = timeit(f, tbl, ig)
+        log(f"gather {Ng/1e6:.1f}M rows from ({Tg},{W}): {dt:7.1f} ms ({dt/Ng*1e6:5.1f} ns/row)")
+
+    # occupancy culling primitives
+    scores = jax.random.normal(key, (N,), dtype=jnp.float32)
+    f = jax.jit(lambda s: jnp.argsort(-s, stable=True))
+    log(f"argsort {N/1e3:.0f}k:             {timeit(f, scores):8.1f} ms")
+    f = jax.jit(lambda s: jax.lax.top_k(s, 49152))
+    log(f"top_k 49k of {N/1e3:.0f}k:        {timeit(f, scores):8.1f} ms")
+
+    # hash vs packed encode at culled + full scale
+    from hashnerf_tpu.ops.hash_encoding import HashGridConfig
+    from hashnerf_tpu.kernels.hash_encode_vjp import hash_encode_fast
+    from hashnerf_tpu.ops.packed_grid import (
+        PackedGridConfig, init_packed_tables, packed_encode,
+    )
+
+    hcfg = HashGridConfig(n_levels=L, n_features_per_level=F,
+                          log2_hashmap_size=19, finest_resolution=512)
+    pcfg = PackedGridConfig(n_levels=L, n_features_per_level=F,
+                            log2_hashmap_size=19, finest_resolution=512,
+                            log2_blocks=16)
+    table = jax.random.normal(key, (L, T, F), dtype=jnp.float32) * 1e-4
+    ptables = init_packed_tables(key, pcfg)
+    bmin = jnp.array([-1.5, -1.5, -1.5])
+    bmax = jnp.array([1.5, 1.5, 1.5])
+    for n_pts in (49152, N):
+        pts = jax.random.uniform(key, (n_pts, 3), minval=-1.4, maxval=1.4)
+        f = jax.jit(lambda t, p: hash_encode_fast(t, p, bmin, bmax, hcfg)[0])
+        log(f"hash   fwd n={n_pts/1e3:6.0f}k:     {timeit(f, table, pts):8.1f} ms")
+        g = jax.jit(jax.grad(lambda t, p: hash_encode_fast(t, p, bmin, bmax, hcfg)[0].sum()))
+        log(f"hash   fwd+bwd n={n_pts/1e3:6.0f}k: {timeit(g, table, pts):8.1f} ms")
+        f = jax.jit(lambda t, p: packed_encode(t, p, bmin, bmax, pcfg)[0])
+        log(f"packed fwd n={n_pts/1e3:6.0f}k:     {timeit(f, ptables, pts):8.1f} ms")
+        g = jax.jit(jax.grad(lambda t, p: jnp.sum(packed_encode(t, p, bmin, bmax, pcfg)[0])))
+        log(f"packed fwd+bwd n={n_pts/1e3:6.0f}k: {timeit(g, ptables, pts):8.1f} ms")
+
+    # MLP + optimizer floor
+    from hashnerf_tpu.models.nerf import NeRFSmallConfig, init_nerf_small, apply_nerf_small
+
+    mcfg = NeRFSmallConfig(input_ch=L * F, input_ch_views=16)
+    params = init_nerf_small(key, mcfg)
+    x = jax.random.normal(key, (N, L * F + 16), dtype=jnp.float32)
+    g = jax.jit(jax.grad(lambda p, x: apply_nerf_small(p, x, mcfg, jnp.bfloat16).sum()))
+    log(f"mlp fwd+bwd {N/1e3:.0f}k bf16:    {timeit(g, params, x):8.1f} ms")
+
+
+# --------------------------------------------------------------------------- #
+def stage_probes():
+    import jax
+    import jax.numpy as jnp
+
+    from hashnerf_tpu.train.driver import Trainer
+
+    args = bench_args()
+    tr = Trainer(args, _scene())
+    tr.global_step = 1001
+    float(tr.run_steps(32, block_size=32)["loss"])
+    tr._occ_ready = True
+
+    key = jax.random.PRNGKey(0)
+    N = 1024 * 192
+    K = 49152
+    pts = jax.random.uniform(key, (N, 3), minval=-1.4, maxval=1.4)
+
+    from hashnerf_tpu.render.occupancy import (
+        occupancy_scores, cull_points, query_with_culling,
+    )
+    from hashnerf_tpu.ops.sampling import sample_pdf
+    from hashnerf_tpu.ops.volume import raw2outputs
+
+    occ_cfg = tr.render_cfg.occupancy
+    grid, bbox = tr.occ_grid, tr.bbox
+
+    f = jax.jit(lambda g, p: occupancy_scores(g, p, bbox, occ_cfg))
+    log(f"occ scores 196k:      {timeit(f, grid, pts):7.1f} ms")
+    scores = f(grid, pts)
+    f = jax.jit(lambda s: cull_points(s, K))
+    log(f"cull argsort+inv:     {timeit(f, scores):7.1f} ms")
+
+    raw = jax.random.normal(key, (1024, 192, 4))
+    z = jnp.sort(jax.random.uniform(key, (1024, 192), minval=2, maxval=6), -1)
+    rd = jax.random.normal(key, (1024, 3))
+    g = jax.jit(jax.grad(lambda r: raw2outputs(r, z, rd, 0.0, True).rgb_map.sum()))
+    log(f"raw2outputs fwd+bwd:  {timeit(g, raw):7.1f} ms")
+
+    bins = jnp.sort(jax.random.uniform(key, (1024, 63), minval=2, maxval=6), -1)
+    w = jax.random.uniform(key, (1024, 62))
+    f = jax.jit(lambda b, w: sample_pdf(key, b, w, 128))
+    log(f"sample_pdf 1024x128:  {timeit(f, bins, w):7.1f} ms")
+    f = jax.jit(lambda z: jnp.sort(z, axis=-1))
+    log(f"z-sort 1024x192:      {timeit(f, z):7.1f} ms")
+
+    dirs = jax.random.normal(key, (1024, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    p3 = pts.reshape(1024, 192, 3)
+    f = jax.jit(
+        lambda st, p, d, g: query_with_culling(
+            tr.query_fn, st, p, d, bbox, g, occ_cfg, K, fine=True
+        ).sum()
+    )
+    log(f"query_with_culling:   {timeit(f, tr.state, p3, dirs, grid):7.1f} ms")
+
+
+# --------------------------------------------------------------------------- #
+def stage_variants():
+    scene = _scene()
+
+    def measure(tag, **over):
+        from hashnerf_tpu.train.driver import Trainer
+
+        args = bench_args(**over)
+        tr = Trainer(args, scene)
+        tr.global_step = 1001
+        float(tr.run_steps(32, block_size=32)["loss"])
+        tr._occ_ready = True
+        B = 96
+        float(tr.run_steps(B, block_size=B)["loss"])
+        t = time.perf_counter()
+        float(tr.run_steps(B, block_size=B)["loss"])
+        dt = time.perf_counter() - t
+        log(f"variant {tag:32s}: {dt/B*1e3:7.1f} ms/step = {B*args.N_rand/dt:8.0f} rays/s")
+
+    measure("hash keep=.25 aabb 4096", aabb_clip=True, N_rand=4096)
+    measure("packed keep=.25 aabb 4096", aabb_clip=True, N_rand=4096,
+            packed_layout=True)
+    measure("packed keep=.25 aabb 8192", aabb_clip=True, N_rand=8192,
+            packed_layout=True)
+    measure("packed 1024", packed_layout=True)
+    measure("packed noocc 4096", use_occupancy=False, aabb_clip=True,
+            N_rand=4096, packed_layout=True)
+
+
+# --------------------------------------------------------------------------- #
+# Quality-curve configs: every config bench.py can report rays/s for must
+# have a same-flags PSNR curve committed (VERDICT r2 #2).
+QUALITY_CONFIGS = {
+    # the exact bench.py defaults (keep=0.25 + aabb + N_rand=4096)
+    "safe4096": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "4096",
+                 "QB_ITERS": "768", "QB_BLOCK": "128"},
+    # reference-semantics anchor (fp32, 16x2 table, no culling)
+    "parity768": {"QB_PARITY": "1", "QB_ITERS": "768", "QB_BLOCK": "64"},
+    # corner-packed flagship
+    "packed4096": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "4096",
+                   "QB_PACKED": "1", "QB_ITERS": "768", "QB_BLOCK": "128"},
+    "r1fast": {"QB_KEEP": "0.25", "QB_AABB": "0", "QB_NRAND": "1024",
+               "QB_ITERS": "1536", "QB_BLOCK": "128"},
+    # long run hunting iters_to_psnr30
+    "psnr30": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "4096",
+               "QB_PACKED": "1", "QB_ITERS": "5120", "QB_BLOCK": "256"},
+}
+
+_QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
+            "QB_L", "QB_F", "QB_TAG", "QB_PARITY", "QB_PACKED")
+
+
+def stage_quality(tag):
+    env = QUALITY_CONFIGS[tag]
+    for k in _QB_KEYS:
+        os.environ.pop(k, None)
+    os.environ.update(env)
+    os.environ["QB_TAG"] = tag
+    log(f"--- quality {tag}: {env} ---")
+    import bench_quality
+
+    try:
+        bench_quality.main()
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+
+
+def stage_bench():
+    import bench
+
+    bench.main()
+
+
+# --------------------------------------------------------------------------- #
+def main(stages):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".cache", "jax"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"devices: {jax.devices()}")
+    for st in stages:
+        log(f"=== stage {st} ===")
+        try:
+            if st == "diag":
+                stage_diag()
+            elif st == "micro":
+                stage_micro()
+            elif st == "probes":
+                stage_probes()
+            elif st == "variants":
+                stage_variants()
+            elif st == "bench":
+                stage_bench()
+            elif st.startswith("quality:"):
+                stage_quality(st.split(":", 1)[1])
+            else:
+                log(f"unknown stage {st!r}")
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+    log("ALL DONE")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["diag"])

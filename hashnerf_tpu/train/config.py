@@ -136,6 +136,15 @@ def config_parser() -> argparse.ArgumentParser:
     parser.add_argument("--steps_per_dispatch", type=int, default=1,
                         help="optimizer steps fused into one XLA dispatch "
                         "(lax.scan block); >1 amortizes host dispatch latency")
+    parser.add_argument("--packed_layout", action="store_true",
+                        help="corner-packed table layout (ops/packed_grid.py):"
+                        " dense direct-indexed coarse levels + block-hashed "
+                        "fine levels — ONE row fetch per (sample, level) "
+                        "instead of 8 (8x fewer gather fetches; off = "
+                        "reference-exact per-corner hashing)")
+    parser.add_argument("--log2_blocks", type=int, default=-1,
+                        help="packed fine-level block rows per level "
+                        "(-1 = auto: log2_hashmap_size - 3)")
     parser.add_argument("--preset", type=str, default=None,
                         choices=list(PRESETS),
                         help="named flag bundle; explicit CLI flags override")
@@ -156,6 +165,7 @@ PRESETS = {
         "--occ_keep_fraction", "0.25",
         "--share_fine",
         "--aabb_clip",
+        "--packed_layout",
         "--steps_per_dispatch", "16",
     ],
 }

@@ -54,6 +54,8 @@ def model_config_from_args(args) -> ModelConfig:
             finest_resolution=args.finest_res,
         ),
         compute_dtype=getattr(args, "compute_dtype", None),
+        packed_layout=getattr(args, "packed_layout", False),
+        log2_blocks=getattr(args, "log2_blocks", -1),
     )
 
 
@@ -102,7 +104,11 @@ def make_optimizer(args, state: NGPState) -> optax.GradientTransformation:
 
         def label_fn(params: NGPState):
             return NGPState(
-                hash_table="embed",
+                # tree_map covers both the plain (L,2^T,F) array and the
+                # packed-layout {"dense","fine"} dict
+                hash_table=jax.tree_util.tree_map(
+                    lambda _: "embed", params.hash_table
+                ),
                 coarse=jax.tree_util.tree_map(lambda _: "net", params.coarse),
                 fine=jax.tree_util.tree_map(lambda _: "net", params.fine)
                 if params.fine is not None
@@ -128,6 +134,20 @@ def make_loss_fn(
     (hashnerf_tpu.parallel.train_sharded)."""
     cfg = render_cfg
     use_hash = (args.i_embed == EMBED_HASH) and with_tv
+    packed = getattr(args, "packed_layout", False)
+    if use_hash and packed:
+        from hashnerf_tpu.train.losses import total_variation_loss_packed
+        from hashnerf_tpu.ops.packed_grid import PackedGridConfig
+
+        b = getattr(args, "log2_blocks", -1)
+        pcfg = PackedGridConfig(
+            n_levels=hcfg.n_levels,
+            n_features_per_level=hcfg.n_features_per_level,
+            log2_hashmap_size=hcfg.log2_hashmap_size,
+            base_resolution=hcfg.base_resolution,
+            finest_resolution=hcfg.finest_resolution,
+            log2_blocks=b if b > 0 else hcfg.log2_hashmap_size - 3,
+        )
     sparse_w = args.sparse_loss_weight
     use_depth = getattr(args, "use_depth", False)
     use_gradient = getattr(args, "use_gradient", False)
@@ -160,11 +180,14 @@ def make_loss_fn(
         loss = loss + sparse_w * sparsity
 
         if use_hash:
-            tv = total_variation_loss_all_levels(
-                k_tv, state.hash_table,
-                hcfg.base_resolution, hcfg.finest_resolution,
-                hcfg.log2_hashmap_size,
-            )
+            if packed:
+                tv = total_variation_loss_packed(k_tv, state.hash_table, pcfg)
+            else:
+                tv = total_variation_loss_all_levels(
+                    k_tv, state.hash_table,
+                    hcfg.base_resolution, hcfg.finest_resolution,
+                    hcfg.log2_hashmap_size,
+                )
             loss = loss + tv_weight * tv
 
         return loss, (psnr, img_loss)
@@ -559,7 +582,11 @@ class Trainer:
     # inside the scan — the reference's sequential pool consumption
     # (run_nerf.py:417-428) at one dispatch per block.
     # ------------------------------------------------------------------ #
-    def _build_pool_block(self, n_steps: int, with_tv: bool, pool_keys: tuple):
+    def _build_pool_block(self, n_steps: int, with_tv: bool, occ_mode,
+                          pool_keys: tuple):
+        """occ_mode: None / "update" / "cull" — same occupancy lifecycle as
+        `_build_block` (the pool path previously hardcoded occ_grid=None,
+        silently ignoring --use_occupancy for batching/st3d runs)."""
         args = self.args
         optimizer = self.optimizer
         loss_fn = make_loss_fn(
@@ -569,35 +596,83 @@ class Trainer:
         n_rand = args.N_rand
         near, far = self.near, self.far
         use_vdirs = self.render_cfg.use_viewdirs
+        occ_cfg = self.render_cfg.occupancy
+
+        def train_one(state, opt_state, pool, offset, k_step, tv_w, occ_grid):
+            batch = {
+                name: jax.lax.dynamic_slice_in_dim(pool[name], offset, n_rand)
+                for name in pool_keys
+            }
+            batch["near"] = jnp.full((n_rand,), near, jnp.float32)
+            batch["far"] = jnp.full((n_rand,), far, jnp.float32)
+            if use_vdirs:
+                d = batch["rays_d"]
+                batch["viewdirs"] = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            batch = self._shard_rays_constraint(batch)
+            (loss, (psnr, img_loss)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state, batch, k_step, tv_w, occ_grid)
+            updates, opt_state = optimizer.update(grads, opt_state, state)
+            state = optax.apply_updates(state, updates)
+            return state, opt_state, {
+                "loss": loss, "psnr": psnr, "img_loss": img_loss
+            }
+
+        if occ_mode is None:
+
+            @jax.jit
+            def block(state, opt_state, occ_grid, pool, offset, key, tv_w):
+                def body(carry, k_step):
+                    state, opt_state, offset = carry
+                    state, opt_state, m = train_one(
+                        state, opt_state, pool, offset, k_step, tv_w, None
+                    )
+                    return (state, opt_state, offset + n_rand), m
+
+                keys = jax.random.split(key, n_steps)
+                (state, opt_state, offset), ms = jax.lax.scan(
+                    body, (state, opt_state, offset), keys
+                )
+                return state, opt_state, occ_grid, jax.tree_util.tree_map(
+                    lambda x: x[-1], ms
+                )
+
+            return block
+
+        upd = occ_cfg.update_every
+        n_seg, rem = divmod(n_steps, upd)
+        assert rem == 0, "occupancy pool block must be a multiple of update_every"
+        cull = occ_mode == "cull"
+        occ_update = self._occ_update_fn
 
         @jax.jit
-        def block(state, opt_state, pool, offset, key, tv_w):
-            def body(carry, k_step):
-                state, opt_state, offset = carry
-                batch = {
-                    name: jax.lax.dynamic_slice_in_dim(pool[name], offset, n_rand)
-                    for name in pool_keys
-                }
-                batch["near"] = jnp.full((n_rand,), near, jnp.float32)
-                batch["far"] = jnp.full((n_rand,), far, jnp.float32)
-                if use_vdirs:
-                    d = batch["rays_d"]
-                    batch["viewdirs"] = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-                batch = self._shard_rays_constraint(batch)
-                (loss, (psnr, img_loss)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(state, batch, k_step, tv_w, None)
-                updates, opt_state = optimizer.update(grads, opt_state, state)
-                state = optax.apply_updates(state, updates)
-                return (state, opt_state, offset + n_rand), {
-                    "loss": loss, "psnr": psnr, "img_loss": img_loss
-                }
+        def block(state, opt_state, occ_grid, pool, offset, key, tv_w):
+            def seg(carry, _):
+                state, opt_state, occ_grid, offset, key = carry
 
-            keys = jax.random.split(key, n_steps)
-            (state, opt_state, offset), ms = jax.lax.scan(
-                body, (state, opt_state, offset), keys
+                def body(c, k_step):
+                    state, opt_state, offset = c
+                    state, opt_state, m = train_one(
+                        state, opt_state, pool, offset, k_step, tv_w,
+                        occ_grid if cull else None,
+                    )
+                    return (state, opt_state, offset + n_rand), m
+
+                key, kb, ku = jax.random.split(key, 3)
+                (state, opt_state, offset), ms = jax.lax.scan(
+                    body, (state, opt_state, offset), jax.random.split(kb, upd)
+                )
+                occ_grid = occ_update(occ_grid, ku, state)
+                return (state, opt_state, occ_grid, offset, key), jax.tree_util.tree_map(
+                    lambda x: x[-1], ms
+                )
+
+            (state, opt_state, occ_grid, offset, key), ms = jax.lax.scan(
+                seg, (state, opt_state, occ_grid, offset, key), None, length=n_seg
             )
-            return state, opt_state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+            return state, opt_state, occ_grid, jax.tree_util.tree_map(
+                lambda x: x[-1], ms
+            )
 
         return block
 
@@ -612,25 +687,62 @@ class Trainer:
             self._pool_block_cache = {}
         metrics = None
         pool_keys = tuple(sorted(pool))
+        occ_cfg = self.render_cfg.occupancy
         done = 0
         while done < n_steps:
             use_tv = self.global_step <= 1000 and args.tv_loss_weight > 0 and (
                 args.i_embed == EMBED_HASH
             )
-            b = min(block_size, n_steps - done)
+            k = n_steps - done
             if use_tv:
-                b = min(b, 1001 - self.global_step)
-            cache_key = (b, use_tv, pool_keys)
+                k = min(k, 1001 - self.global_step)
+
+            if occ_cfg is None:
+                occ_mode = None
+            else:
+                if not self._occ_ready and self.occ_grid is not None:
+                    self._occ_ready = float(jnp.max(self.occ_grid)) > 0.0
+                active = self.global_step >= occ_cfg.warmup_steps and self._occ_ready
+                occ_mode = "cull" if active else "update"
+                if not active and self.global_step < occ_cfg.warmup_steps:
+                    k = min(k, occ_cfg.warmup_steps - self.global_step)
+
+            b = min(k, block_size)
+            if occ_mode is not None:
+                if occ_mode == "update":
+                    b = min(b, occ_cfg.update_every)
+                b = (b // occ_cfg.update_every) * occ_cfg.update_every
+                if b == 0:
+                    # sub-update_every remainder: single jitted steps via the
+                    # sliced batch (occupancy maintained by self.step)
+                    for _ in range(min(k, occ_cfg.update_every)):
+                        batch = {
+                            name: jax.lax.dynamic_slice_in_dim(
+                                pool[name],
+                                offset + done * args.N_rand, args.N_rand,
+                            )
+                            for name in pool_keys
+                        }
+                        batch["near"] = jnp.full((args.N_rand,), self.near, jnp.float32)
+                        batch["far"] = jnp.full((args.N_rand,), self.far, jnp.float32)
+                        metrics = self.step(batch)
+                        done += 1
+                    continue
+
+            cache_key = (b, use_tv, occ_mode, pool_keys)
             fn = self._pool_block_cache.get(cache_key)
             if fn is None:
-                fn = self._build_pool_block(b, use_tv, pool_keys)
+                fn = self._build_pool_block(b, use_tv, occ_mode, pool_keys)
                 self._pool_block_cache[cache_key] = fn
             self.key, kb = jax.random.split(self.key)
             tv_w = jnp.float32(args.tv_loss_weight if use_tv else 0.0)
-            self.state, self.opt_state, metrics = fn(
-                self.state, self.opt_state, pool,
+            occ_in = self.occ_grid if occ_mode is not None else None
+            self.state, self.opt_state, occ_out, metrics = fn(
+                self.state, self.opt_state, occ_in, pool,
                 jnp.int32(offset + done * args.N_rand), kb, tv_w,
             )
+            if occ_mode is not None:
+                self.occ_grid = occ_out
             self.global_step += b
             done += b
         return metrics

@@ -107,6 +107,72 @@ def total_variation_loss_all_levels(
     return total
 
 
+def total_variation_loss_packed(
+    key: jax.Array,
+    tables: dict,  # {"dense": (V,F)?, "fine": (Lf*2^B, 27F)?}
+    pcfg,  # ops.packed_grid.PackedGridConfig
+) -> jnp.ndarray:
+    """TV regularizer for the corner-packed layout (ops/packed_grid.py).
+
+    Same role as the reference's random-cuboid TV (loss.py:11-43), adapted to
+    the packed parameterization:
+      * dense direct-indexed levels: the cuboid lookup is EXACT (no hash
+        collisions aliasing the neighbour diffs — strictly better signal than
+        the reference's hashed cube);
+      * block-hashed fine levels: within-slab forward diffs over a random
+        batch of block rows (neighbour vertices across block boundaries live
+        in different rows; the within-slab diffs cover 26/27 of vertex pairs
+        in expectation and keep the lookup to one contiguous gather).
+    Magnitudes are normalized like the reference (sum of squared diffs /
+    cube_size) so the same --tv-loss-weight applies.
+    """
+    from hashnerf_tpu.kernels.gather_vjp import take_rows
+
+    F = pcfg.n_features_per_level
+    n_levels = pcfg.n_levels
+    keys = jax.random.split(key, n_levels)
+    total = jnp.zeros([], jnp.float32)
+
+    for li, res in enumerate(pcfg.dense_resolutions):
+        _, cube_size = _tv_level_geometry(
+            pcfg.base_resolution, pcfg.finest_resolution, li, n_levels
+        )
+        cube_size = min(cube_size, res)  # dense grid edge guard
+        min_vertex = jax.random.randint(
+            keys[li], (3,), 0, max(res - cube_size, 1)
+        )
+        r = jnp.arange(cube_size + 1, dtype=jnp.int32)
+        idx = min_vertex[None, :] + r[:, None]
+        gx, gy, gz = jnp.meshgrid(idx[:, 0], idx[:, 1], idx[:, 2], indexing="ij")
+        v = (gx * (res + 1) + gy) * (res + 1) + gz + pcfg.dense_offsets[li]
+        cube = take_rows(tables["dense"], v.reshape(-1)).reshape(
+            cube_size + 1, cube_size + 1, cube_size + 1, F
+        )
+        tv_x = jnp.sum((cube[1:] - cube[:-1]) ** 2)
+        tv_y = jnp.sum((cube[:, 1:] - cube[:, :-1]) ** 2)
+        tv_z = jnp.sum((cube[:, :, 1:] - cube[:, :, :-1]) ** 2)
+        total = total + (tv_x + tv_y + tv_z) / cube_size
+
+    n_fine = len(pcfg.fine_resolutions)
+    if n_fine:
+        n_rows = tables["fine"].shape[0]
+        # one shared batch of rows across fine levels; 18 diffs/axis/slab.
+        # Sample ~cube-equivalent volume: a reference cube at cube_size=50
+        # touches ~51^3 vertices; 4900 slabs x 27 is the same order.
+        k_rows = 4096
+        ridx = jax.random.randint(keys[-1], (k_rows,), 0, n_rows)
+        slabs = take_rows(tables["fine"], ridx).reshape(k_rows, 3, 3, 3, F)
+        tv = (
+            jnp.sum((slabs[:, 1:] - slabs[:, :-1]) ** 2)
+            + jnp.sum((slabs[:, :, 1:] - slabs[:, :, :-1]) ** 2)
+            + jnp.sum((slabs[:, :, :, 1:] - slabs[:, :, :, :-1]) ** 2)
+        )
+        # normalize to the reference's sum/cube_size scale: the slab batch
+        # holds k*18 diffs/axis vs the cube's ~cube_size^3; scale to match.
+        total = total + tv * (50.0**3 / (k_rows * 18.0)) / 50.0
+    return total
+
+
 def sigma_sparsity_loss(sigmas: jnp.ndarray) -> jnp.ndarray:
     """Cauchy sparsity on sigma (reference loss.py:45-47)."""
     return jnp.sum(jnp.log(1.0 + 2.0 * sigmas**2), axis=-1)

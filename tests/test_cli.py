@@ -5,6 +5,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; default run: -m "not slow"
+
 
 @pytest.fixture(scope="module")
 def cli_env(tmp_path_factory):

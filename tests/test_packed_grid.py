@@ -1,0 +1,208 @@
+"""Corner-packed grid encoder (ops/packed_grid.py): oracle + gradient tests.
+
+The packed encoder is a NEW layout (not reference-parity): dense
+direct-indexed coarse levels + block-hashed fine levels. Tests pin it against
+independent numpy oracles and verify the custom-VJP gather path produces
+exactly the same gradients as plain autodiff.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hashnerf_tpu.ops.hashing import BOX_OFFSETS, HASH_PRIMES
+from hashnerf_tpu.ops.packed_grid import (
+    PackedGridConfig,
+    build_packed_dense,
+    init_packed_tables,
+    packed_encode,
+)
+
+BBOX_MIN = np.array([-1.5, -1.5, -1.5], np.float32)
+BBOX_MAX = np.array([1.5, 1.5, 1.5], np.float32)
+
+
+def small_cfg(**kw):
+    d = dict(
+        n_levels=4,
+        n_features_per_level=2,
+        log2_hashmap_size=10,  # 1024 rows -> dense while (res+1)^3 <= 1024
+        base_resolution=4,
+        finest_resolution=32,
+        log2_blocks=7,
+    )
+    d.update(kw)
+    return PackedGridConfig(**d)
+
+
+def np_hash(coords, log2_size):
+    c = coords.astype(np.uint32)
+    acc = np.zeros(c.shape[:-1], np.uint32)
+    for i in range(c.shape[-1]):
+        acc ^= c[..., i] * np.uint32(HASH_PRIMES[i] & 0xFFFFFFFF)
+    return (acc & np.uint32((1 << log2_size) - 1)).astype(np.int64)
+
+
+def oracle_encode(tables, x, cfg):
+    """Independent numpy implementation of the packed-layout semantics."""
+    F = cfg.n_features_per_level
+    xc = np.clip(x, BBOX_MIN, BBOX_MAX)
+    dense = np.asarray(tables["dense"]) if "dense" in tables else None
+    fine = np.asarray(tables["fine"]) if "fine" in tables else None
+    feats = []
+    for li, res in enumerate(cfg.resolutions):
+        grid = (BBOX_MAX - BBOX_MIN) / np.float32(res)
+        rel = (xc - BBOX_MIN) / grid
+        b = np.clip(np.floor(rel).astype(np.int64), 0, res - 1)
+        w = rel - b
+        f = np.zeros((x.shape[0], F), np.float32)
+        is_dense = li < cfg.dense_level_count
+        for (i, j, k) in BOX_OFFSETS:
+            cw = (
+                (w[:, 0] if i else 1 - w[:, 0])
+                * (w[:, 1] if j else 1 - w[:, 1])
+                * (w[:, 2] if k else 1 - w[:, 2])
+            )
+            u = b + np.array([i, j, k])
+            if is_dense:
+                o0 = cfg.dense_offsets[li]
+                v = (u[:, 0] * (res + 1) + u[:, 1]) * (res + 1) + u[:, 2]
+                vals = dense[o0 + v]
+            else:
+                lf = li - cfg.dense_level_count
+                a = b >> 1
+                row = np_hash(a, cfg.log2_blocks) + lf * cfg.n_block_rows
+                loc = u - 2 * a  # in [0, 2]
+                slot = loc[:, 0] * 9 + loc[:, 1] * 3 + loc[:, 2]
+                slab = fine[row].reshape(-1, 27, F)
+                vals = slab[np.arange(x.shape[0]), slot]
+            f += cw[:, None].astype(np.float32) * vals
+        feats.append(f)
+    return np.concatenate(feats, axis=-1)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_cfg()
+    tables = init_packed_tables(jax.random.PRNGKey(1), cfg)
+    # make values O(1) so mismatches are visible above fp noise
+    tables = {k: v * 1e4 for k, v in tables.items()}
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1.8, 1.8, size=(257, 3)).astype(np.float32)
+    return cfg, tables, x
+
+
+def test_level_partition():
+    cfg = small_cfg()
+    # res 4, 8, 16, 32 -> (res+1)^3 = 125, 729, 4913, 35937 vs 1024 rows
+    assert cfg.resolutions == (4, 8, 16, 32)
+    assert cfg.dense_level_count == 2
+    assert cfg.fine_resolutions == (16, 32)
+
+
+def test_packed_dense_rebuild_matches_vertices(setup):
+    cfg, tables, _ = setup
+    packed = np.asarray(build_packed_dense(jnp.asarray(tables["dense"]), cfg))
+    F = cfg.n_features_per_level
+    dense = np.asarray(tables["dense"])
+    rng = np.random.default_rng(1)
+    for li, res in enumerate(cfg.dense_resolutions):
+        for _ in range(20):
+            b = rng.integers(0, res, size=3)
+            v = (b[0] * res + b[1]) * res + b[2]
+            row = packed[cfg.packed_offsets[li] + v].reshape(8, F)
+            for c, (i, j, k) in enumerate(BOX_OFFSETS):
+                u = b + np.array([i, j, k])
+                vi = (u[0] * (res + 1) + u[1]) * (res + 1) + u[2]
+                np.testing.assert_array_equal(
+                    row[c], dense[cfg.dense_offsets[li] + vi]
+                )
+
+
+def test_forward_matches_oracle(setup):
+    cfg, tables, x = setup
+    feats, keep = packed_encode(
+        {k: jnp.asarray(v) for k, v in tables.items()},
+        jnp.asarray(x), jnp.asarray(BBOX_MIN), jnp.asarray(BBOX_MAX), cfg,
+    )
+    want = oracle_encode(tables, x, cfg)
+    np.testing.assert_allclose(np.asarray(feats), want, rtol=2e-5, atol=2e-5)
+    want_keep = np.all((x >= BBOX_MIN) & (x <= BBOX_MAX), axis=-1)
+    np.testing.assert_array_equal(np.asarray(keep), want_keep)
+
+
+def test_out_dim_and_shapes(setup):
+    cfg, tables, x = setup
+    feats, keep = packed_encode(
+        {k: jnp.asarray(v) for k, v in tables.items()},
+        jnp.asarray(x), jnp.asarray(BBOX_MIN), jnp.asarray(BBOX_MAX), cfg,
+    )
+    assert feats.shape == (x.shape[0], cfg.out_dim)
+    assert keep.shape == (x.shape[0],)
+    assert keep.dtype == jnp.bool_
+
+
+def test_gradients_match_plain_autodiff(setup):
+    """take_rows custom-VJP path == plain jnp.take autodiff, exactly."""
+    cfg, tables, x = setup
+    xj = jnp.asarray(x)
+    bmin, bmax = jnp.asarray(BBOX_MIN), jnp.asarray(BBOX_MAX)
+    cot = jnp.asarray(
+        np.random.default_rng(2).normal(size=(x.shape[0], cfg.out_dim))
+    ).astype(jnp.float32)
+
+    def loss_fast(tbl):
+        f, _ = packed_encode(tbl, xj, bmin, bmax, cfg)
+        return jnp.vdot(f, cot)
+
+    import hashnerf_tpu.ops.packed_grid as pg
+    import hashnerf_tpu.kernels.gather_vjp as gv
+
+    def loss_plain(tbl):
+        orig = gv.take_rows
+        try:
+            gv.take_rows = lambda t, i: jnp.take(t, i, axis=0)
+            f, _ = packed_encode(tbl, xj, bmin, bmax, cfg)
+        finally:
+            gv.take_rows = orig
+        return jnp.vdot(f, cot)
+
+    tbl = {k: jnp.asarray(v) for k, v in tables.items()}
+    g_fast = jax.grad(loss_fast)(tbl)
+    g_plain = jax.grad(loss_plain)(tbl)
+    for k in tbl:
+        np.testing.assert_allclose(
+            np.asarray(g_fast[k]), np.asarray(g_plain[k]), rtol=1e-5, atol=1e-6
+        )
+    # and the gradient actually reaches every table
+    assert all(float(jnp.abs(g_fast[k]).sum()) > 0 for k in tbl)
+
+
+def test_continuity_within_macro_block(setup):
+    """Features are continuous across a voxel face interior to a macro block."""
+    cfg, tables, _ = setup
+    tbl = {k: jnp.asarray(v) for k, v in tables.items()}
+    res = cfg.fine_resolutions[-1]  # finest level
+    grid = (BBOX_MAX - BBOX_MIN) / res
+    # voxel face x-plane between voxels 2a and 2a+1 (interior to block a)
+    bx = 6  # even -> face at bx+1 is interior to block 3
+    face_x = BBOX_MIN[0] + (bx + 1) * grid[0]
+    eps = 1e-4 * grid[0]
+    p_lo = np.array([[face_x - eps, 0.1, 0.2]], np.float32)
+    p_hi = np.array([[face_x + eps, 0.1, 0.2]], np.float32)
+    f_lo, _ = packed_encode(tbl, jnp.asarray(p_lo), jnp.asarray(BBOX_MIN), jnp.asarray(BBOX_MAX), cfg)
+    f_hi, _ = packed_encode(tbl, jnp.asarray(p_hi), jnp.asarray(BBOX_MIN), jnp.asarray(BBOX_MAX), cfg)
+    np.testing.assert_allclose(
+        np.asarray(f_lo), np.asarray(f_hi), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_bigger_config_partition():
+    """The flagship bench shape: L=8 F=4 T=2^19 finest 512 -> 4 dense + 4 fine."""
+    cfg = PackedGridConfig(
+        n_levels=8, n_features_per_level=4, log2_hashmap_size=19,
+        base_resolution=16, finest_resolution=512, log2_blocks=16,
+    )
+    assert cfg.dense_level_count == 4
+    assert cfg.dense_resolutions == (16, 26, 43, 70)
+    assert len(cfg.fine_resolutions) == 4

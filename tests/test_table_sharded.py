@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; default run: -m "not slow"
+
 from hashnerf_tpu.ops.hash_encoding import HashGridConfig, hash_encode, init_hash_table
 from hashnerf_tpu.parallel.table_sharded import (
     make_table_mesh,

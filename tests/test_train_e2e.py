@@ -5,6 +5,8 @@ import numpy as np
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; default run: -m "not slow"
+
 from hashnerf_tpu.data.synthetic import make_synthetic_scene
 from hashnerf_tpu.train.config import config_parser
 from hashnerf_tpu.train.driver import Trainer
