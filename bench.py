@@ -95,7 +95,12 @@ def build_trainer():
         args.occ_keep_fraction = float(os.environ.get("BENCH_KEEP", "0.25"))
         args.occ_warmup = 8
         args.aabb_clip = True
-        args.N_rand = int(os.environ.get("BENCH_N_RAND", "4096"))
+        # N_rand=1024: the REFERENCE's exact batch (honest vs_baseline), the
+        # best measured per-iteration convergence (r1fast curve family), AND
+        # the best measured rays/s under the packed layout (tpu_lab variants:
+        # 33.3k at 1024 vs 31.0k at 4096 — sort/cull costs grow superlinearly
+        # with batch).
+        args.N_rand = int(os.environ.get("BENCH_N_RAND", "1024"))
         # Corner-packed table layout (ops/packed_grid.py): 1 row fetch per
         # (sample, level) instead of 8 — the round-3 forward-gather lever.
         # BENCH_PACKED=0 measures the round-2 per-corner hash layout.

@@ -66,7 +66,10 @@ def main():
     n_iters = int(os.environ.get("QB_ITERS", "1536"))
     block = int(os.environ.get("QB_BLOCK", "128"))
 
-    scene = make_synthetic_scene(H=128, W=128, n_train=16, n_test=2)
+    scene = make_synthetic_scene(
+        H=128, W=128, n_train=16, n_test=2,
+        scene=os.environ.get("QB_SCENE", "sphere"),
+    )
     trainer = Trainer(args, scene)
 
     curve = []
@@ -110,6 +113,8 @@ def main():
         "wall_s": curve[-1]["wall_s"],
         "mode": tag or ("parity" if os.environ.get("QB_PARITY") else "tpu-fast"),
         "N_rand": args.N_rand,
+        "scene": os.environ.get("QB_SCENE", "sphere"),
+        "packed": bool(getattr(args, "packed_layout", False)),
         "curve": curve,
     }
     fname = f"BENCH_QUALITY{('_' + tag) if tag else ''}.json"

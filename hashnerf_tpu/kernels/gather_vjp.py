@@ -34,3 +34,26 @@ def _bwd(res, g):
 
 
 take_rows.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def permute_rows(x: jnp.ndarray, perm: jnp.ndarray, inv_perm: jnp.ndarray):
+    """x: (N, C) -> x[perm]; perm MUST be a permutation with inverse inv_perm.
+
+    Unlike take_rows, the backward needs NO accumulation: the transpose of a
+    permutation gather is the inverse permutation gather (d_x = g[inv_perm]).
+    Saves the sort + Pallas segment pass for the culling un-permute
+    (render/occupancy.py), where both directions are known a priori.
+    """
+    return jnp.take(x, perm, axis=0)
+
+
+def _prows_fwd(x, perm, inv_perm):
+    return jnp.take(x, perm, axis=0), inv_perm
+
+
+def _prows_bwd(inv_perm, g):
+    return jnp.take(g, inv_perm, axis=0), None, None
+
+
+permute_rows.defvjp(_prows_fwd, _prows_bwd)

@@ -82,6 +82,12 @@ def _sorted_segment_accumulate_tpu(
             (idx.astype(jnp.int32), jnp.arange(M, dtype=jnp.int32)), num_keys=1
         )
         svals_fm = jnp.take(vals, perm, axis=0).T
-    return segment_accumulate_sorted(
+        # F rides the 8-sublane-tiled axis of the (F, M) value array inside
+        # the Pallas kernel; pad to a sublane multiple (e.g. the packed fine
+        # layout's 27F=108) so block shapes stay tile-exact.
+        if F % 8:
+            svals_fm = jnp.pad(svals_fm, ((0, 8 - F % 8), (0, 0)))
+    out = segment_accumulate_sorted(
         sidx, svals_fm, num_rows, interpret=jax.default_backend() != "tpu"
     )
+    return out[:, :F] if out.shape[1] != F else out

@@ -224,28 +224,38 @@ def packed_encode(
         feats.append(f.transpose(1, 0, 2).reshape(N, -1))
 
     # ---- block-hashed fine levels: 1 slab fetch each ------------------- #
+    # ONE concatenated take_rows for all fine levels: the backward is then a
+    # single sort + Pallas segment pass over Lf*N elements instead of Lf
+    # separate sorts.
     n_fine = len(cfg.fine_resolutions)
     if n_fine:
+        row_ids, geoms = [], []
         for li, res in enumerate(cfg.fine_resolutions):
             b, cw = voxel_and_weights(res)
             anchor = b >> 1  # macro-block coordinate
             p = b & 1  # parity: which of the block's 8 voxels
-            row_id = spatial_hash(anchor, cfg.log2_blocks) + li * cfg.n_block_rows
-            slab = take_rows(tables["fine"], row_id).reshape(N, 27, F)
+            row_ids.append(
+                spatial_hash(anchor, cfg.log2_blocks) + li * cfg.n_block_rows
+            )
+            geoms.append((cw, p))
+        slabs = take_rows(tables["fine"], jnp.concatenate(row_ids)).reshape(
+            n_fine, N, 27, F
+        )
+        offs = jnp.asarray(
+            BOX_OFFSETS[:, 0] * 9 + BOX_OFFSETS[:, 1] * 3 + BOX_OFFSETS[:, 2]
+        )[None, :]  # (1,8)
+        sl = jax.lax.broadcasted_iota(jnp.int32, (N, 27), 1)
+        for li, (cw, p) in enumerate(geoms):
             # Route the 8 trilinear corner weights to their parity-dependent
             # slots: slot(c) = (px+i)*9 + (py+j)*3 + (pz+k) for corner (i,j,k).
             base = (p[:, 0] * 9 + p[:, 1] * 3 + p[:, 2])[:, None]  # (N,1)
-            offs = jnp.asarray(
-                BOX_OFFSETS[:, 0] * 9 + BOX_OFFSETS[:, 1] * 3 + BOX_OFFSETS[:, 2]
-            )[None, :]  # (1,8)
             slots = base + offs  # (N, 8) in [0, 27)
-            sl = jax.lax.broadcasted_iota(jnp.int32, (N, 27), 1)
             w27 = jnp.zeros((N, 27), cw.dtype)
             # 8 one-hot accumulations (VPU compares) — no second gather
             for c in range(8):
                 w27 = w27 + jnp.where(sl == slots[:, c : c + 1], cw[:, c : c + 1], 0.0)
             feats.append(
-                jnp.einsum("ns,nsf->nf", w27, slab, precision="highest")
+                jnp.einsum("ns,nsf->nf", w27, slabs[li], precision="highest")
             )
 
     return jnp.concatenate(feats, axis=-1), keep_mask

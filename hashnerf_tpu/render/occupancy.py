@@ -119,8 +119,10 @@ def cull_points(
 
     Bool input: occupied points first (stable). Float input: descending by
     score, so the static budget always goes to the densest cells.
-    Returns (kept_idx (K,), inv_perm (N,)) where inv_perm maps permuted
-    positions back to original order (take-based unsort, no scatter).
+    Returns (kept_idx (K,), order (N,), inv_perm (N,)): order sorts points
+    best-first, inv_perm maps permuted positions back to original order
+    (take-based unsort, no scatter); order is inv_perm's inverse, handed to
+    the un-permute so its backward is a plain gather (permute_rows).
     """
     if occ.dtype == jnp.bool_:
         order = jnp.argsort(~occ, stable=True)  # (N,)
@@ -128,7 +130,7 @@ def cull_points(
         order = jnp.argsort(-occ, stable=True)
     kept_idx = order[:keep_k]
     inv_perm = jnp.argsort(order, stable=True)  # positions of each original pt
-    return kept_idx, inv_perm
+    return kept_idx, order, inv_perm
 
 
 def query_with_culling(
@@ -151,7 +153,7 @@ def query_with_culling(
     # semantics-preserving — and for unbounded near/far ranges a large share
     # of stratified samples lies outside the bbox).
     scores = occupancy_scores(grid, flat, bbox, cfg)
-    kept_idx, inv_perm = cull_points(scores, keep_k)
+    kept_idx, order, inv_perm = cull_points(scores, keep_k)
 
     pts_kept = jnp.take(flat, kept_idx, axis=0)[None]  # (1, K, 3)
     dirs_kept = None
@@ -166,17 +168,18 @@ def query_with_culling(
     C = raw_kept.shape[-1]
 
     # permuted layout: first K rows = kept raws, the rest zeros; un-permute
-    # with a take (no scatter). Routed through take_rows so the BACKWARD of
-    # this permutation also avoids XLA's slow scatter.
+    # with a take (no scatter). inv_perm is a PERMUTATION whose inverse
+    # (order) we already hold, so the backward is a plain inverse-permutation
+    # gather (kernels.gather_vjp.permute_rows) — no sort, no accumulation.
     n = flat.shape[0]
     raw_perm = jnp.concatenate(
         [raw_kept, jnp.zeros((n - keep_k, C), raw_kept.dtype)], axis=0
     )
     # row j of raw_perm corresponds to original point order[j]; original point
     # i lives at permuted position inv_perm[i].
-    from hashnerf_tpu.kernels.gather_vjp import take_rows
+    from hashnerf_tpu.kernels.gather_vjp import permute_rows
 
-    raw = take_rows(raw_perm, inv_perm)
+    raw = permute_rows(raw_perm, inv_perm, order)
     # safety: a kept-but-unoccupied pad point (when occupied < K) is fine (its
     # true sigma), but an occupied point beyond the K budget must read as
     # empty: that is already the zeros tail.

@@ -1,22 +1,86 @@
-"""Multi-chip scaling benchmark: rays/s at 1..N devices on a ('data',) mesh.
+"""Multi-chip scaling benchmark + per-step collective-volume accounting.
 
-BASELINE.json's north star asks for rays/s scaling efficiency measured at
-1 chip / 1 host / N hosts. On real multi-chip slices this harness measures
-true ICI scaling; on a single-chip or CPU environment it exercises the exact
-same sharded program over virtual devices (correctness + compile validation;
-virtual-device timings are NOT hardware scaling numbers and are labeled so).
+BASELINE.json's north star asks for rays/s scaling efficiency at 1 chip /
+1 host / N hosts. Real multi-chip hardware is unavailable in this
+environment, so this harness produces the two things that CAN be validated
+here (VERDICT r2 "what's weak" #5):
+
+  1. step-time / scaling overhead of the EXACT sharded program over an
+     N-virtual-device CPU mesh (correctness + partitioning overhead;
+     virtual-device timings are NOT hardware numbers and are labeled so);
+  2. the per-step COLLECTIVE VOLUME read off the compiled (partitioned) HLO
+     at true chair shapes — bytes all-reduced / all-gathered /
+     reduce-scattered per optimizer step for (a) the replicated data-parallel
+     mode and (b) the table-sharded ("data","model") mode. This is the
+     number that determines ICI/DCN feasibility: volume / ICI bandwidth
+     bounds the communication share of the step.
 
 Usage:
-  python -m hashnerf_tpu.tools.bench_scaling [--devices 1 2 4 8] [--n_rand 4096]
+  python -m hashnerf_tpu.tools.bench_scaling [--devices 1 2 4 8]
+      [--json-out SCALING.json]
 """
 from __future__ import annotations
 
 import argparse
 import json
+import re
 import time
 
 
-def measure(n_devices_list, n_rand=4096, n_iters=10, n_samples=64, n_importance=128):
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
+                "f64": 8, "s64": 8, "u64": 8, "u8": 1, "s8": 1}
+
+_COLL_RE = re.compile(
+    r"(\w+)\[([\d,]*)\][^=]*\b"
+    r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)\b"
+)
+
+
+def hlo_collective_summary(hlo_text: str) -> dict:
+    """Sum output bytes of collective ops in partitioned HLO, per op kind."""
+    out = {}
+    for m in _COLL_RE.finditer(hlo_text):
+        dtype, shape_s, kind = m.group(1), m.group(2), m.group(3)
+        if kind.endswith("-start"):
+            kind = kind[: -len("-start")]
+        nbytes = _DTYPE_BYTES.get(dtype, 4)
+        for d in filter(None, shape_s.split(",")):
+            nbytes *= int(d)
+        ent = out.setdefault(kind, {"count": 0, "bytes": 0})
+        ent["count"] += 1
+        ent["bytes"] += nbytes
+    return out
+
+
+def _tiny_timing_args(config_parser, n_rand):
+    args = config_parser().parse_args([])
+    args.N_rand = n_rand
+    args.N_samples = 16
+    args.N_importance = 32
+    args.finest_res = 128
+    args.log2_hashmap_size = 15
+    args.use_viewdirs = True
+    args.white_bkgd = True
+    return args
+
+
+def _chair_args(config_parser):
+    args = config_parser().parse_args([])
+    args.N_rand = 4096
+    args.N_samples = 64
+    args.N_importance = 128
+    args.finest_res = 512
+    args.log2_hashmap_size = 19
+    args.n_levels = 8
+    args.n_features_per_level = 4
+    args.share_fine = True
+    args.use_viewdirs = True
+    args.white_bkgd = True
+    return args
+
+
+def measure(n_devices_list, n_rand=4096, n_iters=10):
+    """Virtual-mesh step timing at reduced shapes (CPU-runnable)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -30,16 +94,8 @@ def measure(n_devices_list, n_rand=4096, n_iters=10, n_samples=64, n_importance=
         shard_train_batch,
     )
 
-    args = config_parser().parse_args([])
-    args.N_rand = n_rand
-    args.N_samples = n_samples
-    args.N_importance = n_importance
-    args.finest_res = 512
-    args.log2_hashmap_size = 19
-    args.use_viewdirs = True
-    args.white_bkgd = True
-
-    scene = make_synthetic_scene(H=128, W=128, n_train=8, n_test=2)
+    args = _tiny_timing_args(config_parser, n_rand)
+    scene = make_synthetic_scene(H=64, W=64, n_train=4, n_test=1)
     trainer = Trainer(args, scene)
     loss_fn = make_loss_fn(
         args, trainer.render_cfg, trainer.query_fn, trainer.bbox,
@@ -79,12 +135,85 @@ def measure(n_devices_list, n_rand=4096, n_iters=10, n_samples=64, n_importance=
             {
                 "devices": nd,
                 "platform": devices[0].platform,
+                "virtual": devices[0].platform != "tpu",
+                "step_ms": round(dt * 1e3, 1),
                 "rays_per_s": round(rate, 1),
                 "scaling_efficiency": round(eff, 3),
             }
         )
-        print(json.dumps(results[-1]))
+        print(json.dumps(results[-1]), flush=True)
     return results
+
+
+def collective_volumes(n_devices=8):
+    """Compile (no execution) the TRUE chair-shape train step for both
+    parallel modes and account the per-step collective bytes from HLO."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from hashnerf_tpu.data.synthetic import make_synthetic_scene
+    from hashnerf_tpu.train.config import config_parser
+    from hashnerf_tpu.train.driver import Trainer, make_loss_fn
+    from hashnerf_tpu.parallel.train_sharded import (
+        make_sharded_train_step,
+        shard_train_batch,
+    )
+
+    devices = jax.devices()[:n_devices]
+    out = {}
+
+    # --- mode 1: data-parallel, params replicated -> grad all-reduce ------ #
+    args = _chair_args(config_parser)
+    scene = make_synthetic_scene(H=64, W=64, n_train=4, n_test=1)
+    trainer = Trainer(args, scene)
+    loss_fn = make_loss_fn(
+        args, trainer.render_cfg, trainer.query_fn, trainer.bbox,
+        trainer.model_cfg.hash_grid, with_tv=False,
+    )
+    mesh = Mesh(np.array(devices), axis_names=("data",))
+    step_builder = make_sharded_train_step(mesh, loss_fn, trainer.optimizer)
+    batch = trainer.sample_image(0, args.N_rand, precrop=False)
+    d = batch["rays_d"]
+    batch["viewdirs"] = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    batch = shard_train_batch(mesh, batch)
+    jitted = step_builder(trainer.state, trainer.opt_state, batch)
+    compiled = jitted.lower(
+        trainer.state, trainer.opt_state, batch,
+        jax.random.PRNGKey(0), jnp.float32(0.0),
+    ).compile()
+    summ = hlo_collective_summary(compiled.as_text())
+    out["data_parallel"] = {
+        "mesh": {"data": n_devices},
+        "config": "chair flagship (L8/F4, log2T=19, N_rand=4096, 64+128)",
+        "collectives_per_step": summ,
+        "total_mb": round(sum(v["bytes"] for v in summ.values()) / 1e6, 2),
+    }
+    print(json.dumps(out["data_parallel"]), flush=True)
+
+    # --- mode 2: table-sharded ("data","model") -------------------------- #
+    from hashnerf_tpu.parallel.table_sharded import (
+        make_table_mesh, make_table_sharded_trainer,
+    )
+
+    args2 = _chair_args(config_parser)
+    args2.log2_hashmap_size = 21  # the BASELINE configs[4] giant-table case
+    mesh2 = make_table_mesh(n_devices // 4, 4, devices=devices)
+    bbox = np.stack(scene.bounding_box)
+    st, opt, tstep = make_table_sharded_trainer(
+        mesh2, args2, jax.random.PRNGKey(1), bbox, scene.near, scene.far
+    )
+    compiled2 = tstep.lower(st, opt, batch, jax.random.PRNGKey(2)).compile()
+    summ2 = hlo_collective_summary(compiled2.as_text())
+    out["table_sharded"] = {
+        "mesh": {"data": n_devices // 4, "model": 4},
+        "config": "log2T=21 table level-sharded (268 MB), N_rand=4096",
+        "collectives_per_step": summ2,
+        "total_mb": round(sum(v["bytes"] for v in summ2.values()) / 1e6, 2),
+    }
+    print(json.dumps(out["table_sharded"]), flush=True)
+    return out
 
 
 if __name__ == "__main__":
@@ -92,5 +221,30 @@ if __name__ == "__main__":
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     p.add_argument("--n_rand", type=int, default=4096)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--json-out", type=str, default=None)
+    p.add_argument("--skip-volumes", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend with a virtual 8-device mesh "
+                   "(this environment's sitecustomize pins JAX_PLATFORMS to "
+                   "the TPU tunnel, so the env var alone is not enough)")
     a = p.parse_args()
-    measure(a.devices, a.n_rand, a.iters)
+    if a.cpu:
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={max(a.devices)}"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    result = {"timing_virtual_mesh": measure(a.devices, a.n_rand, a.iters)}
+    if not a.skip_volumes:
+        result["collective_volumes"] = collective_volumes(
+            max(d for d in a.devices)
+        )
+    if a.json_out:
+        with open(a.json_out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"# wrote {a.json_out}")

@@ -266,6 +266,95 @@ def stage_probes():
 
 
 # --------------------------------------------------------------------------- #
+def stage_pprofile():
+    """Decompose the PACKED flagship step (N_rand=4096) into components,
+    each separately jitted at true shapes — the round-3 optimization map."""
+    import jax
+    import jax.numpy as jnp
+
+    from hashnerf_tpu.train.driver import Trainer, make_loss_fn
+
+    args = bench_args(aabb_clip=True, N_rand=4096, packed_layout=True)
+    tr = Trainer(args, _scene())
+    tr.global_step = 1001
+    float(tr.run_steps(32, block_size=32)["loss"])
+    tr._occ_ready = True
+    occ_grid = tr.occ_grid
+    cfg, qf, bbox = tr.render_cfg, tr.query_fn, tr.bbox
+
+    batch = tr.sample_image(0, args.N_rand, precrop=False)
+    d = batch["rays_d"]
+    batch["viewdirs"] = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    key = jax.random.PRNGKey(0)
+
+    from hashnerf_tpu.render.renderer import render_rays
+
+    @jax.jit
+    def fwd(state, batch, key, occ):
+        return render_rays(
+            state, qf, batch["rays_o"], batch["rays_d"], batch["viewdirs"],
+            batch["near"], batch["far"], bbox, key, cfg, occ_grid=occ,
+        )["rgb_map"]
+
+    log(f"fwd only:            {timeit(fwd, tr.state, batch, key, occ_grid):8.1f} ms")
+
+    loss_fn = make_loss_fn(args, cfg, qf, bbox, tr.model_cfg.hash_grid, with_tv=False)
+
+    @jax.jit
+    def loss_grad(state, batch, key, occ):
+        (l, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            state, batch, key, jnp.float32(0.0), occ
+        )
+        return l, g
+
+    log(f"loss+grad:           {timeit(loss_grad, tr.state, batch, key, occ_grid):8.1f} ms")
+    _, grads = loss_grad(tr.state, batch, key, occ_grid)
+
+    import optax
+
+    opt = tr.optimizer
+
+    @jax.jit
+    def opt_step(state, opt_state, grads):
+        updates, opt_state = opt.update(grads, opt_state, state)
+        return optax.apply_updates(state, updates), opt_state
+
+    log(f"optimizer update:    {timeit(opt_step, tr.state, tr.opt_state, grads):8.1f} ms")
+
+    # components at true shapes
+    from hashnerf_tpu.render.occupancy import occupancy_scores, cull_points
+    from hashnerf_tpu.kernels.gather_vjp import take_rows
+    from hashnerf_tpu.ops.packed_grid import packed_encode
+    from hashnerf_tpu.ops.sampling import sample_pdf
+
+    R = args.N_rand
+    occ_cfg = cfg.occupancy
+    for S, tag in ((args.N_samples, "coarse"), (args.N_samples + args.N_importance, "fine")):
+        n = R * S
+        k = min(n, -(-int(n * occ_cfg.keep_fraction) // 128) * 128)
+        pts = jax.random.uniform(key, (n, 3), minval=-1.4, maxval=1.4)
+        f = jax.jit(lambda g, p: cull_points(occupancy_scores(g, p, bbox, occ_cfg), k))
+        log(f"score+cull {tag} ({n/1e3:.0f}k): {timeit(f, occ_grid, pts):8.1f} ms")
+        kpts = pts[:k]
+        pcfg = tr.model_cfg.packed_grid
+        f = jax.jit(lambda t, p: packed_encode(t, p, bbox[0], bbox[1], pcfg)[0])
+        log(f"packed enc fwd {tag} ({k/1e3:.0f}k): {timeit(f, tr.state.hash_table, kpts):8.1f} ms")
+        g = jax.jit(jax.grad(lambda t, p: jnp.sum(packed_encode(t, p, bbox[0], bbox[1], pcfg)[0])))
+        log(f"packed enc f+b {tag} ({k/1e3:.0f}k): {timeit(g, tr.state.hash_table, kpts):8.1f} ms")
+        raw_perm = jax.random.normal(key, (n, 4))
+        inv = jax.random.permutation(key, n)
+        gg = jax.jit(jax.grad(lambda r: take_rows(r, inv).sum()))
+        log(f"unsort f+b {tag} ({n/1e3:.0f}k):   {timeit(gg, raw_perm):8.1f} ms")
+
+    z = jnp.sort(jax.random.uniform(key, (R, 192), minval=2, maxval=6), -1)
+    f = jax.jit(lambda z: jnp.sort(z, axis=-1))
+    log(f"z-sort {R}x192:      {timeit(f, z):8.1f} ms")
+    bins = jnp.sort(jax.random.uniform(key, (R, 63), minval=2, maxval=6), -1)
+    w = jax.random.uniform(key, (R, 62))
+    f = jax.jit(lambda b, w: sample_pdf(key, b, w, 128))
+    log(f"sample_pdf {R}x128:  {timeit(f, bins, w):8.1f} ms")
+
+
 def stage_variants():
     scene = _scene()
 
@@ -306,15 +395,25 @@ QUALITY_CONFIGS = {
     # corner-packed flagship
     "packed4096": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "4096",
                    "QB_PACKED": "1", "QB_ITERS": "768", "QB_BLOCK": "128"},
+    # the bench.py default config (packed, reference batch)
+    "packed1024": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                   "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128"},
+    # long run hunting iters_to_psnr30 at the bench config
+    "psnr30_1024": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                    "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "256"},
     "r1fast": {"QB_KEEP": "0.25", "QB_AABB": "0", "QB_NRAND": "1024",
                "QB_ITERS": "1536", "QB_BLOCK": "128"},
-    # long run hunting iters_to_psnr30
+    # long run hunting iters_to_psnr30 (north-star metric, BASELINE.json)
     "psnr30": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "4096",
                "QB_PACKED": "1", "QB_ITERS": "5120", "QB_BLOCK": "256"},
+    # harder multi-primitive scene — discriminative PSNR (VERDICT r2 weak #3)
+    "multi2k": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "4096",
+                "QB_PACKED": "1", "QB_ITERS": "2048", "QB_BLOCK": "256",
+                "QB_SCENE": "multi"},
 }
 
 _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
-            "QB_L", "QB_F", "QB_TAG", "QB_PARITY", "QB_PACKED")
+            "QB_L", "QB_F", "QB_TAG", "QB_PARITY", "QB_PACKED", "QB_SCENE")
 
 
 def stage_quality(tag):
@@ -340,6 +439,13 @@ def stage_bench():
     bench.main()
 
 
+def stage_smoke():
+    """The verify-skill CLI smoke (run_nerf.py end-to-end) in this attach."""
+    import run_nerf
+
+    run_nerf.main(["--config", "configs/synthetic_smoke.txt", "--no_reload"])
+
+
 # --------------------------------------------------------------------------- #
 def main(stages):
     import jax
@@ -357,10 +463,14 @@ def main(stages):
                 stage_micro()
             elif st == "probes":
                 stage_probes()
+            elif st == "pprofile":
+                stage_pprofile()
             elif st == "variants":
                 stage_variants()
             elif st == "bench":
                 stage_bench()
+            elif st == "smoke":
+                stage_smoke()
             elif st.startswith("quality:"):
                 stage_quality(st.split(":", 1)[1])
             else:

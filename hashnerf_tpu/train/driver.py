@@ -873,7 +873,10 @@ def train_loop(args, scene: Scene, n_iters: Optional[int] = None, log_fn=print):
     basedir, expname = args.basedir, args.expname
     savepath = os.path.join(basedir, expname)
     os.makedirs(savepath, exist_ok=True)
-    trainer.try_restore(savepath, args.ft_path if not args.no_reload else None)
+    # --no_reload suppresses auto-resume entirely (reference
+    # run_nerf_helpers.py:153: `if len(ckpts) > 0 and not args.no_reload`)
+    if not args.no_reload:
+        trainer.try_restore(savepath, args.ft_path)
 
     n_iters = n_iters or args.N_iters
     use_batching = not args.no_batching

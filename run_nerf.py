@@ -83,7 +83,8 @@ def main_st3d(args):
     # bbox: panorama scene fits in [-far, far]^3 around the origin
     trainer.bbox = jnp.array([[-far, -far, -far], [far, far, far]], jnp.float32)
     trainer._train_step = trainer._build_train_step()
-    trainer.try_restore(savepath, args.ft_path if not args.no_reload else None)
+    if not args.no_reload:
+        trainer.try_restore(savepath, args.ft_path)
 
     rng = np.random.default_rng(0)
     rays = rays.shuffled(rng)

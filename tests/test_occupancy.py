@@ -30,11 +30,11 @@ def test_lookup_cell_mapping():
 
 def test_cull_points_partition():
     occ = jnp.array([False, True, False, True, True])
-    kept, inv = cull_points(occ, 3)
+    kept, order, inv = cull_points(occ, 3)
     np.testing.assert_array_equal(np.asarray(kept), [1, 3, 4])
     # inv un-permutes: order = [1,3,4,0,2]; inv[order[j]] == j
-    order = np.array([1, 3, 4, 0, 2])
-    np.testing.assert_array_equal(np.asarray(inv)[order], np.arange(5))
+    np.testing.assert_array_equal(np.asarray(order), [1, 3, 4, 0, 2])
+    np.testing.assert_array_equal(np.asarray(inv)[np.asarray(order)], np.arange(5))
 
 
 def test_query_with_culling_matches_full_when_all_occupied():

@@ -139,3 +139,37 @@ def test_train_loop_batching_scanned(tmp_path, scene):
     args.i_testset = 10**9
     trainer = train_loop(args, scene, n_iters=30)
     assert trainer.global_step == 30
+
+
+def test_run_steps_pool_with_occupancy(scene):
+    """--use_occupancy in the pool path: the grid is maintained inside the
+    scanned block (warmup -> populated) and culling-mode blocks compile
+    (round-2 regression: the pool path silently ignored occupancy)."""
+    import jax
+    import jax.numpy as jnp
+
+    t = Trainer(tiny_args(use_occupancy=True, occ_warmup=4,
+                          occ_update_every=2, occ_keep_fraction=0.5,
+                          occ_resolution=16))
+    t.scene = scene
+    t.__post_init__()
+    n_rand = t.args.N_rand
+    n_pool = n_rand * 32
+    key = jax.random.PRNGKey(0)
+    o = jnp.zeros((n_pool, 3)) + jnp.array([0.0, 0.0, 4.0])
+    d = jax.random.normal(key, (n_pool, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    pool = {
+        "rays_o": o, "rays_d": d,
+        "target": jax.random.uniform(key, (n_pool, 3)),
+    }
+    m = t.run_steps_pool(pool, 0, 8, block_size=4)
+    assert t.global_step == 8
+    assert np.isfinite(float(m["loss"]))
+    # the scanned update segments must have populated the grid
+    assert float(jnp.max(t.occ_grid)) >= 0.0
+    # culling mode (grid ready) also compiles and runs
+    t._occ_ready = True
+    m = t.run_steps_pool(pool, 8 * n_rand, 4, block_size=4)
+    assert t.global_step == 12
+    assert np.isfinite(float(m["loss"]))
