@@ -53,9 +53,11 @@ def main():
     if not os.environ.get("QB_PARITY"):
         args.n_levels = int(os.environ.get("QB_L", "8"))
         args.n_features_per_level = int(os.environ.get("QB_F", "4"))
-        args.share_fine = True
-        args.compute_dtype = "bfloat16"
-        args.use_occupancy = True
+        args.share_fine = bool(int(os.environ.get("QB_SHARE", "1")))
+        args.compute_dtype = os.environ.get("QB_DTYPE", "bfloat16")
+        if args.compute_dtype in ("", "float32", "none"):
+            args.compute_dtype = None
+        args.use_occupancy = bool(int(os.environ.get("QB_OCC", "1")))
         args.occ_keep_fraction = float(os.environ.get("QB_KEEP", "0.25"))
         args.occ_warmup = 64
         args.aabb_clip = bool(int(os.environ.get("QB_AABB", "0")))
@@ -65,19 +67,33 @@ def main():
 
     n_iters = int(os.environ.get("QB_ITERS", "1536"))
     block = int(os.environ.get("QB_BLOCK", "128"))
+    # Eval-render chunk cap: the default 32k-ray chunk puts a whole 128x128
+    # test image in ONE render_rays call — at parity shapes (16 levels x 192
+    # samples x 8 corners, no culling) that materializes >HBM. 4096 rays/chunk
+    # keeps the eval program ~200 MB in every mode (scanned chunks reuse one
+    # compiled program, so smaller chunks only add ~20 ms dispatch each).
+    args.chunk = int(os.environ.get("QB_CHUNK", "4096"))
 
+    # 64 train views (QB_VIEWS): the reference's quality protocol trains on
+    # 100 views per blender scene; 16 views leaves multi-object scenes
+    # view-starved (observed: train 32.8 dB / test 11.5 dB on "multi").
     scene = make_synthetic_scene(
-        H=128, W=128, n_train=16, n_test=2,
+        H=128, W=128, n_train=int(os.environ.get("QB_VIEWS", "64")), n_test=2,
         scene=os.environ.get("QB_SCENE", "sphere"),
     )
     trainer = Trainer(args, scene)
+    trainer.eval_cull = bool(int(os.environ.get("QB_EVALCULL", "1")))
 
     curve = []
     t0 = time.time()
     done = 0
     while done < n_iters:
         b = min(block, n_iters - done)
-        m = trainer.run_steps(b, block_size=b)
+        try:
+            m = trainer.run_steps(b, block_size=b)
+        except Exception as e:  # transient remote-compile RPC flakes
+            print(f"# run_steps({b}) failed ({e}); retrying once", file=sys.stderr)
+            m = trainer.run_steps(b, block_size=b)
         done += b
         rgbs, _, psnrs = trainer.render_test_path(
             scene.poses[scene.i_test], gt_imgs=scene.images[scene.i_test]

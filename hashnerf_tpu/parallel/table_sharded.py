@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from hashnerf_tpu.ops.hash_encoding import (
     HashGridConfig,
@@ -71,7 +71,7 @@ def make_sharded_encoder(mesh: Mesh, cfg: HashGridConfig):
         mesh=mesh,
         in_specs=(P("model", None, None), P("data", None), P(), P()),
         out_specs=(P("data", None), P("data")),
-        check_rep=False,
+        check_vma=False,
     )
     return encode
 

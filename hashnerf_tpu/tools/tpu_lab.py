@@ -400,20 +400,41 @@ QUALITY_CONFIGS = {
                    "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128"},
     # long run hunting iters_to_psnr30 at the bench config
     "psnr30_1024": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
-                    "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "256"},
+                    "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "128"},
     "r1fast": {"QB_KEEP": "0.25", "QB_AABB": "0", "QB_NRAND": "1024",
                "QB_ITERS": "1536", "QB_BLOCK": "128"},
-    # long run hunting iters_to_psnr30 (north-star metric, BASELINE.json)
-    "psnr30": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "4096",
-               "QB_PACKED": "1", "QB_ITERS": "5120", "QB_BLOCK": "256"},
+    # flagship WITHOUT aabb clip (isolates aabb's quality effect at 1024)
+    "packedr1": {"QB_KEEP": "0.25", "QB_AABB": "0", "QB_NRAND": "1024",
+                 "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128"},
+    # ---- saturation ablations (flagship = packed/1024/aabb/keep.25/bf16/
+    # share_fine/cull-at-eval saturates ~26 dB; parity converges past 28 —
+    # each run flips ONE knob to find where the dB went) ----
+    "abl_evalfull": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                     "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                     "QB_EVALCULL": "0"},
+    "abl_f32": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                "QB_DTYPE": "float32"},
+    "abl_keep50": {"QB_KEEP": "0.5", "QB_AABB": "1", "QB_NRAND": "1024",
+                   "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128"},
+    "abl_L16F2": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                  "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                  "QB_L": "16", "QB_F": "2"},
+    "abl_noshare": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                    "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                    "QB_SHARE": "0"},
+    "abl_noocc": {"QB_AABB": "1", "QB_NRAND": "1024", "QB_PACKED": "1",
+                  "QB_ITERS": "1536", "QB_BLOCK": "128", "QB_OCC": "0"},
     # harder multi-primitive scene — discriminative PSNR (VERDICT r2 weak #3)
-    "multi2k": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "4096",
-                "QB_PACKED": "1", "QB_ITERS": "2048", "QB_BLOCK": "256",
+    "multi2k": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                "QB_PACKED": "1", "QB_ITERS": "2048", "QB_BLOCK": "128",
                 "QB_SCENE": "multi"},
 }
 
 _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
-            "QB_L", "QB_F", "QB_TAG", "QB_PARITY", "QB_PACKED", "QB_SCENE")
+            "QB_L", "QB_F", "QB_TAG", "QB_PARITY", "QB_PACKED", "QB_SCENE",
+            "QB_CHUNK", "QB_VIEWS", "QB_EVALCULL", "QB_DTYPE", "QB_SHARE",
+            "QB_OCC")
 
 
 def stage_quality(tag):

@@ -797,11 +797,16 @@ class Trainer:
     # ------------------------------------------------------------------ #
     # Eval / rendering
     # ------------------------------------------------------------------ #
+    # Eval-time culling opt-out: train with the budgeted culling but render
+    # eval/test images exactly (full sample evaluation). Quality/throughput
+    # trade is the caller's (bench_quality QB_EVALCULL).
+    eval_cull: bool = True
+
     @property
     def _eval_occ_grid(self):
         """Occupancy grid for eval-time culling (only once populated —
         --use_occupancy opts into the budgeted-culling semantics)."""
-        if self.render_cfg.occupancy is not None and self._occ_ready:
+        if self.eval_cull and self.render_cfg.occupancy is not None and self._occ_ready:
             return self.occ_grid
         return None
 
