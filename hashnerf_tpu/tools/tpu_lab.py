@@ -503,5 +503,35 @@ def main(stages):
     log("ALL DONE")
 
 
+def subproc_main(stages):
+    """Run each stage in its OWN child process with a timeout.
+
+    The remote-compile RPC occasionally wedges forever (observed twice at
+    compile-heavy windows); in one big process that loses the whole session.
+    The TPU attach is cheap when the tunnel is warm (~10 s), so per-stage
+    isolation costs little and a wedge only loses one stage.
+    """
+    import subprocess
+
+    t_limit = int(os.environ.get("TPL_STAGE_TIMEOUT", "2400"))
+    for st in stages:
+        print(f"[lab-driver] === {st} (limit {t_limit}s) ===", flush=True)
+        t0 = time.time()
+        try:
+            rc = subprocess.call(
+                [sys.executable, "-m", "hashnerf_tpu.tools.tpu_lab", st],
+                timeout=t_limit, cwd=REPO,
+            )
+            print(f"[lab-driver] {st}: rc={rc} ({time.time()-t0:.0f}s)", flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"[lab-driver] {st}: TIMEOUT after {t_limit}s — killed, "
+                  "continuing", flush=True)
+    print("[lab-driver] ALL DONE", flush=True)
+
+
 if __name__ == "__main__":
-    main(sys.argv[1:] or ["diag"])
+    argv = sys.argv[1:] or ["diag"]
+    if argv[0] == "--subproc":
+        subproc_main(argv[1:])
+    else:
+        main(argv)

@@ -527,7 +527,17 @@ class Trainer:
             # while global_step <= 1000)
             k = remaining
             if use_tv:
-                k = min(k, 1001 - self.global_step)
+                tv_left = 1001 - self.global_step
+                if occ_cfg is not None:
+                    # round the boundary UP to the occupancy update grid so
+                    # the TV window never ends mid-interval (which would
+                    # force per-step fallback programs — up to 2 extra XLA
+                    # compiles for <=15 steps of work). Costs <=15 extra TV
+                    # steps at the (tiny) warmup weight; documented in
+                    # PARITY.md loop deviations.
+                    upd = occ_cfg.update_every
+                    tv_left = -(-tv_left // upd) * upd
+                k = min(k, tv_left)
 
             if occ_cfg is None:
                 occ_mode = None
@@ -695,7 +705,11 @@ class Trainer:
             )
             k = n_steps - done
             if use_tv:
-                k = min(k, 1001 - self.global_step)
+                tv_left = 1001 - self.global_step
+                if occ_cfg is not None:
+                    upd = occ_cfg.update_every
+                    tv_left = -(-tv_left // upd) * upd  # see run_steps
+                k = min(k, tv_left)
 
             if occ_cfg is None:
                 occ_mode = None
