@@ -82,7 +82,7 @@ def main():
         scene=os.environ.get("QB_SCENE", "sphere"),
     )
     trainer = Trainer(args, scene)
-    trainer.eval_cull = bool(int(os.environ.get("QB_EVALCULL", "1")))
+    trainer.eval_cull = bool(int(os.environ.get("QB_EVALCULL", "0")))
 
     curve = []
     t0 = time.time()

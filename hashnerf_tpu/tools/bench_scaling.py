@@ -79,7 +79,8 @@ def _chair_args(config_parser):
     return args
 
 
-def measure(n_devices_list, n_rand=4096, n_iters=10):
+def measure(n_devices_list, n_rand=4096, n_iters=10, n_samples=16,
+            n_importance=32):
     """Virtual-mesh step timing at reduced shapes (CPU-runnable)."""
     import numpy as np
     import jax
@@ -95,6 +96,8 @@ def measure(n_devices_list, n_rand=4096, n_iters=10):
     )
 
     args = _tiny_timing_args(config_parser, n_rand)
+    args.N_samples = n_samples
+    args.N_importance = n_importance
     scene = make_synthetic_scene(H=64, W=64, n_train=4, n_test=1)
     trainer = Trainer(args, scene)
     loss_fn = make_loss_fn(

@@ -811,10 +811,12 @@ class Trainer:
     # ------------------------------------------------------------------ #
     # Eval / rendering
     # ------------------------------------------------------------------ #
-    # Eval-time culling opt-out: train with the budgeted culling but render
-    # eval/test images exactly (full sample evaluation). Quality/throughput
-    # trade is the caller's (bench_quality QB_EVALCULL).
-    eval_cull: bool = True
+    # Train with budgeted culling but render eval/test images EXACTLY by
+    # default: the fixed keep budget clips geometry on full-image ray grids
+    # (measured -3.3 dB on otherwise identical training,
+    # BENCH_QUALITY_abl_evalfull vs _packed1024). Culled eval is opt-in for
+    # throughput (bench_quality QB_EVALCULL=1).
+    eval_cull: bool = False
 
     @property
     def _eval_occ_grid(self):
