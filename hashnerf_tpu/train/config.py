@@ -152,10 +152,16 @@ def config_parser() -> argparse.ArgumentParser:
 
 
 # Named flag bundles, spliced BEFORE cli args (CLI/config overrides preset).
-# tpu-fast: the flagship TPU training config — same 32-dim encoding as the
+# tpu-fast: the flagship TPU throughput config — same 32-dim encoding as the
 # reference (L=8 levels x F=4 features halves the gather count; measured
-# equal-rate k=4 row gathers), occupancy-grid + bbox sample culling, a single
-# shared network for both passes, bf16 MLP compute.
+# equal-rate k=4 row gathers), corner-packed tables, occupancy-grid + bbox
+# sample culling, a single shared network for both passes, bf16 MLP compute.
+# Quality-proven: 30 dB at iter 2632 on the procedural quality benchmark
+# (BENCH_QUALITY_psnr30_1024.json).
+# tpu-quality: same execution engine tuned for peak PSNR — keep budget 0.5
+# and no aabb clip (each measured ~+0.7 dB, docs/TPU_DESIGN.md ablations);
+# 30 dB at iter 1538, ~35 dB at 6k (BENCH_QUALITY_quality30.json), still
+# ~20x the reference's per-step speed.
 PRESETS = {
     "tpu-fast": [
         "--n_levels", "8",
@@ -165,6 +171,16 @@ PRESETS = {
         "--occ_keep_fraction", "0.25",
         "--share_fine",
         "--aabb_clip",
+        "--packed_layout",
+        "--steps_per_dispatch", "16",
+    ],
+    "tpu-quality": [
+        "--n_levels", "8",
+        "--n_features_per_level", "4",
+        "--compute_dtype", "bfloat16",
+        "--use_occupancy",
+        "--occ_keep_fraction", "0.5",
+        "--share_fine",
         "--packed_layout",
         "--steps_per_dispatch", "16",
     ],
