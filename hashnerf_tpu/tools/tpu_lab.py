@@ -373,14 +373,13 @@ def stage_variants():
         dt = time.perf_counter() - t
         log(f"variant {tag:32s}: {dt/B*1e3:7.1f} ms/step = {B*args.N_rand/dt:8.0f} rays/s")
 
-    measure("hash keep=.25 aabb 4096", aabb_clip=True, N_rand=4096)
+    measure("packed 1024 aabb (bench cfg)", aabb_clip=True, packed_layout=True)
+    measure("packed 1024 L4F8", aabb_clip=True, packed_layout=True,
+            n_levels=4, n_features_per_level=8)
+    measure("packed 1024 keep=.5 noaabb", packed_layout=True,
+            occ_keep_fraction=0.5)
     measure("packed keep=.25 aabb 4096", aabb_clip=True, N_rand=4096,
             packed_layout=True)
-    measure("packed keep=.25 aabb 8192", aabb_clip=True, N_rand=8192,
-            packed_layout=True)
-    measure("packed 1024", packed_layout=True)
-    measure("packed noocc 4096", use_occupancy=False, aabb_clip=True,
-            N_rand=4096, packed_layout=True)
 
 
 # --------------------------------------------------------------------------- #
@@ -420,6 +419,9 @@ QUALITY_CONFIGS = {
     "abl_L16F2": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
                   "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
                   "QB_L": "16", "QB_F": "2"},
+    "abl_L4F8": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                 "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                 "QB_L": "4", "QB_F": "8"},
     "abl_noshare": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
                     "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
                     "QB_SHARE": "0"},

@@ -126,3 +126,25 @@ def test_sorted_segment_accumulate_wide_f(rng):
     got = _sorted_segment_accumulate_tpu(jnp.asarray(idx), jnp.asarray(vals), num_rows=T)
     want = jnp.zeros((T, 8)).at[jnp.asarray(idx)].add(jnp.asarray(vals))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_permute_rows_backward_is_inverse_gather():
+    """permute_rows: fwd = x[perm]; VJP must equal plain autodiff of the
+    gather (a permutation's transpose is the inverse permutation gather)."""
+    import jax
+    import jax.numpy as jnp
+    from hashnerf_tpu.kernels.gather_vjp import permute_rows
+
+    rng = np.random.default_rng(3)
+    N, C = 257, 4
+    x = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    perm = jnp.asarray(rng.permutation(N).astype(np.int32))
+    inv = jnp.argsort(perm)
+    cot = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+
+    out = permute_rows(x, perm, inv)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x)[np.asarray(perm)])
+
+    g_fast = jax.grad(lambda x: jnp.vdot(permute_rows(x, perm, inv), cot))(x)
+    g_ref = jax.grad(lambda x: jnp.vdot(jnp.take(x, perm, axis=0), cot))(x)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), rtol=1e-6)
