@@ -76,7 +76,9 @@ def build_trainer():
 
     # Default = the flagship TPU execution config: same per-ray work shape
     # (64+128 stratified samples, 2^19-row table, 32-dim encoding) with
-    # TPU-native execution — L8/F4 table (half the gathers), shared
+    # TPU-native execution — L4/F8 packed table (quality-measured BETTER
+    # than L8/F4 and L16/F2: BENCH_QUALITY_abl_L4F8 28.89 dB vs 28.34/25.85
+    # at 1536 iters — and 1/4 the per-sample fetches of L16), shared
     # coarse/fine net, bf16 MLP compute, Instant-NGP occupancy culling +
     # ray-AABB sample tightening, and a TPU-sized ray batch (rays/s is the
     # metric; per-ray convergence at these settings is tracked by
@@ -84,8 +86,8 @@ def build_trainer():
     # the reference's exact batch; BENCH_PARITY=1 measures the
     # reference-exact execution path.
     if not os.environ.get("BENCH_PARITY"):
-        args.n_levels = int(os.environ.get("BENCH_L", "8"))
-        args.n_features_per_level = int(os.environ.get("BENCH_F", "4"))
+        args.n_levels = int(os.environ.get("BENCH_L", "4"))
+        args.n_features_per_level = int(os.environ.get("BENCH_F", "8"))
         args.share_fine = True
         args.compute_dtype = "bfloat16"
         args.use_occupancy = True

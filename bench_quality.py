@@ -51,8 +51,8 @@ def main():
     args.white_bkgd = True
     args.no_batching = True
     if not os.environ.get("QB_PARITY"):
-        args.n_levels = int(os.environ.get("QB_L", "8"))
-        args.n_features_per_level = int(os.environ.get("QB_F", "4"))
+        args.n_levels = int(os.environ.get("QB_L", "4"))
+        args.n_features_per_level = int(os.environ.get("QB_F", "8"))
         args.share_fine = bool(int(os.environ.get("QB_SHARE", "1")))
         args.compute_dtype = os.environ.get("QB_DTYPE", "bfloat16")
         if args.compute_dtype in ("", "float32", "none"):

@@ -422,6 +422,14 @@ QUALITY_CONFIGS = {
     "abl_L4F8": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
                  "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
                  "QB_L": "4", "QB_F": "8"},
+    # L4F8-flagship long runs (tags distinct from the L8F4 generation so
+    # both artifact sets stay committed)
+    "psnr30_L4F8": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                    "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "128",
+                    "QB_L": "4", "QB_F": "8"},
+    "quality30_L4F8": {"QB_KEEP": "0.5", "QB_AABB": "0", "QB_NRAND": "1024",
+                       "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "128",
+                       "QB_L": "4", "QB_F": "8"},
     "abl_noshare": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
                     "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
                     "QB_SHARE": "0"},

@@ -156,16 +156,19 @@ def config_parser() -> argparse.ArgumentParser:
 # reference (L=8 levels x F=4 features halves the gather count; measured
 # equal-rate k=4 row gathers), corner-packed tables, occupancy-grid + bbox
 # sample culling, a single shared network for both passes, bf16 MLP compute.
-# Quality-proven: 30 dB at iter 2632 on the procedural quality benchmark
-# (BENCH_QUALITY_psnr30_1024.json).
-# tpu-quality: same execution engine tuned for peak PSNR — keep budget 0.5
-# and no aabb clip (each measured ~+0.7 dB, docs/TPU_DESIGN.md ablations);
-# 30 dB at iter 1538, ~35 dB at 6k (BENCH_QUALITY_quality30.json), still
-# ~20x the reference's per-step speed.
+# Quality-proven: 30 dB at iter 1723 and 35.7 dB at 6k on the procedural
+# quality benchmark (BENCH_QUALITY_psnr30_L4F8.json) — the L4/F8 flagship
+# is the best-measured config on BOTH axes (abl_L4F8 28.89 dB @1536 beats
+# L8/F4's 28.34 and the reference-shape L16/F2's 25.85).
+# tpu-quality: the L8/F4 keep=0.5 execution set (30 dB @1538, 35.1 dB @6k,
+# BENCH_QUALITY_quality30.json). Kept for its independently validated curve
+# family; at L4/F8 the plain flagship measured equal-or-better
+# (quality30_L4F8 33.9 vs psnr30_L4F8 35.7 @6144), so prefer tpu-fast
+# unless reproducing the L8/F4 curves.
 PRESETS = {
     "tpu-fast": [
-        "--n_levels", "8",
-        "--n_features_per_level", "4",
+        "--n_levels", "4",
+        "--n_features_per_level", "8",
         "--compute_dtype", "bfloat16",
         "--use_occupancy",
         "--occ_keep_fraction", "0.25",
