@@ -69,8 +69,8 @@ def bench_args(**over):
     args.use_viewdirs = True
     args.white_bkgd = True
     args.no_batching = True
-    args.n_levels = 8
-    args.n_features_per_level = 4
+    args.n_levels = 4
+    args.n_features_per_level = 8
     args.share_fine = True
     args.compute_dtype = "bfloat16"
     args.use_occupancy = True
@@ -374,8 +374,8 @@ def stage_variants():
         log(f"variant {tag:32s}: {dt/B*1e3:7.1f} ms/step = {B*args.N_rand/dt:8.0f} rays/s")
 
     measure("packed 1024 aabb (bench cfg)", aabb_clip=True, packed_layout=True)
-    measure("packed 1024 L4F8", aabb_clip=True, packed_layout=True,
-            n_levels=4, n_features_per_level=8)
+    measure("packed 1024 L4F8 keep=.125", aabb_clip=True, packed_layout=True,
+            n_levels=4, n_features_per_level=8, occ_keep_fraction=0.125)
     measure("packed 1024 keep=.5 noaabb", packed_layout=True,
             occ_keep_fraction=0.5)
     measure("packed keep=.25 aabb 4096", aabb_clip=True, N_rand=4096,
@@ -422,6 +422,10 @@ QUALITY_CONFIGS = {
     "abl_L4F8": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
                  "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
                  "QB_L": "4", "QB_F": "8"},
+    # tighter culling budget at the L4F8 flagship (keep=0.125 halves the
+    # encoded points; quality must hold vs abl_L4F8's 28.89 dB @1536)
+    "abl_keep125": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                    "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128"},
     # L4F8-flagship long runs (tags distinct from the L8F4 generation so
     # both artifact sets stay committed)
     "psnr30_L4F8": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
