@@ -129,16 +129,18 @@ def test_debug_check_finite(capsys):
 
 
 def test_tpu_fast_preset_training(scene):
-    """Flagship fast mode: preset flags -> shared net, L8/F4 table,
+    """Flagship fast mode: preset flags -> shared net, L4/F8 packed table,
     occupancy+bbox culling — trains and improves PSNR like the parity path."""
     from hashnerf_tpu.train.config import parse_args
 
     args = parse_args(["--preset", "tpu-fast"])
-    assert args.share_fine and args.use_occupancy
-    assert (args.n_levels, args.n_features_per_level) == (8, 4)
+    assert args.share_fine and args.use_occupancy and args.packed_layout
+    # round-3 flagship shape: 4 levels x 8 features (measured best on BOTH
+    # throughput and quality — BENCH_QUALITY_abl_L4F8)
+    assert (args.n_levels, args.n_features_per_level) == (4, 8)
     # CLI flags override the preset
-    args2 = parse_args(["--preset", "tpu-fast", "--n_levels", "4"])
-    assert args2.n_levels == 4
+    args2 = parse_args(["--preset", "tpu-fast", "--n_levels", "8"])
+    assert args2.n_levels == 8
 
     args = tiny_args(
         share_fine=True, n_levels=8, n_features_per_level=4,
