@@ -80,6 +80,12 @@ class ModelConfig:
         from hashnerf_tpu.ops.packed_grid import PackedGridConfig
 
         h = self.hash_grid
+        if self.log2_blocks != -1 and self.log2_blocks <= 0:
+            # an explicit 0 (or other non-positive value) is a config error,
+            # not a request for the auto default (ADVICE r3 #5)
+            raise ValueError(
+                f"log2_blocks must be > 0 or -1 (auto); got {self.log2_blocks}"
+            )
         b = self.log2_blocks if self.log2_blocks > 0 else h.log2_hashmap_size - 3
         return PackedGridConfig(
             n_levels=h.n_levels,

@@ -80,22 +80,76 @@ def sample_pdf(
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(cdf.shape[-1] - 1, inds)
 
-    # The bin values are fetched with one-hot masked reductions instead of
-    # take_along_axis: per-element gathers cost ~16 ns/row on TPU (~2M rows
-    # = ~30 ms at 4096x128) while the (R, S, M) select+sum fuses into VPU
-    # work XLA never materializes. Exact — the one-hot selects the identical
-    # element.
-    m_iota = jnp.arange(cdf.shape[-1])
-    oh_below = m_iota == below[..., None]  # (R, S, M)
-    oh_above = m_iota == above[..., None]
-    cdf_b = cdf[..., None, :]
-    bins_b = bins[..., None, :]
-    cdf_below = jnp.sum(jnp.where(oh_below, cdf_b, 0.0), -1)
-    cdf_above = jnp.sum(jnp.where(oh_above, cdf_b, 0.0), -1)
-    bins_below = jnp.sum(jnp.where(oh_below, bins_b, 0.0), -1)
-    bins_above = jnp.sum(jnp.where(oh_above, bins_b, 0.0), -1)
+    if jax.default_backend() == "tpu":
+        # The bin values are fetched with one-hot masked reductions instead
+        # of take_along_axis: per-element gathers cost ~16 ns/row on TPU
+        # (~2M rows = ~30 ms at 4096x128) while the (R, S, M) select+sum
+        # fuses into VPU work XLA never materializes. Exact — the one-hot
+        # selects the identical element.
+        m_iota = jnp.arange(cdf.shape[-1])
+        oh_below = m_iota == below[..., None]  # (R, S, M)
+        oh_above = m_iota == above[..., None]
+        cdf_b = cdf[..., None, :]
+        bins_b = bins[..., None, :]
+        cdf_below = jnp.sum(jnp.where(oh_below, cdf_b, 0.0), -1)
+        cdf_above = jnp.sum(jnp.where(oh_above, cdf_b, 0.0), -1)
+        bins_below = jnp.sum(jnp.where(oh_below, bins_b, 0.0), -1)
+        bins_above = jnp.sum(jnp.where(oh_above, bins_b, 0.0), -1)
+    else:
+        # On CPU/GPU (tests, virtual-mesh runs) XLA does not fuse the
+        # (R, S, M) selects away — plain gathers are cheaper and lighter on
+        # memory there (same backend switch as
+        # kernels.segment_scatter.sorted_segment_accumulate).
+        cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+        cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+        bins_below = jnp.take_along_axis(bins, below, axis=-1)
+        bins_above = jnp.take_along_axis(bins, above, axis=-1)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
     t = (u - cdf_below) / denom
     return bins_below + t * (bins_above - bins_below)
+
+
+def sorted_uniform(key: jax.Array, shape) -> jnp.ndarray:
+    """Draw u ~ sorted iid Uniform(0,1) along the LAST axis, without a sort.
+
+    Uses the exponential-spacings construction: if E_1..E_{n+1} ~ Exp(1),
+    then (cumsum(E)_i / sum(E))_{i=1..n} is distributed exactly as the order
+    statistics of n iid uniforms. Feeding sorted u through the monotone
+    inverse-CDF of `sample_pdf` yields z-samples whose MULTISET has the
+    identical law as the reference's iid draws (run_nerf_helpers.py:264-307)
+    while arriving already sorted — which turns the downstream coarse+fine
+    z-merge (run_nerf_helpers.py:551 `torch.sort(torch.cat(...))`) into a
+    rank-based merge of two sorted lists (`merge_sorted`), removing the full
+    generic sort from the hot path.
+    """
+    e = jax.random.exponential(key, shape[:-1] + (shape[-1] + 1,))
+    c = jnp.cumsum(e, axis=-1)
+    return c[..., :-1] / c[..., -1:]
+
+
+def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Merge two per-row SORTED arrays a: (..., n), b: (..., m) -> (..., n+m).
+
+    Rank-based: each element's merged position is its own index plus a dense
+    compare-count against the other list (the same VPU compare-reduce trick
+    as `sample_pdf`'s searchsorted), then a one-hot masked sum places it —
+    no generic sort network. Ties broken a-first (stable), matching
+    jnp.sort(concatenate([a, b])) exactly for distinct values.
+    """
+    n, m = a.shape[-1], b.shape[-1]
+    # position of a[i]: i + #{j : b[j] < a[i]}; position of b[j]:
+    # j + #{i : a[i] <= b[j]} — consistent tie-break => valid permutation.
+    pos_a = jnp.arange(n) + jnp.sum(
+        (b[..., None, :] < a[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    pos_b = jnp.arange(m) + jnp.sum(
+        (a[..., None, :] <= b[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    k = jnp.arange(n + m)
+    out = jnp.sum(jnp.where(pos_a[..., :, None] == k, a[..., :, None], 0.0), -2)
+    out = out + jnp.sum(
+        jnp.where(pos_b[..., :, None] == k, b[..., :, None], 0.0), -2
+    )
+    return out

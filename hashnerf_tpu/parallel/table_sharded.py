@@ -144,3 +144,21 @@ def make_table_sharded_trainer(mesh: Mesh, args, key, bbox, near: float, far: fl
         return state, opt_state, {"loss": loss, "psnr": psnr, "img_loss": img_loss}
 
     return state, opt_state, train_step
+
+
+def save_table_sharded(path: str, global_step: int, state, opt_state) -> None:
+    """Checkpoint the table-sharded trainer (SURVEY §5.4): the per-leaf
+    PartitionSpecs (table + its RAdam moments on 'model') are recorded so a
+    restore lands level-sharded again — see train/checkpoint.py."""
+    from hashnerf_tpu.train.checkpoint import save_checkpoint
+
+    save_checkpoint(path, global_step, state, opt_state)
+
+
+def restore_table_sharded(path: str, mesh: Mesh, state_template,
+                          opt_state_template):
+    """Restore onto the live ('data','model') mesh with sharding
+    re-placement. Returns (global_step, state, opt_state)."""
+    from hashnerf_tpu.train.checkpoint import load_checkpoint
+
+    return load_checkpoint(path, state_template, opt_state_template, mesh=mesh)

@@ -38,6 +38,12 @@ class RenderConfig:
     # Tighten per-ray [near, far] to the bbox intersection before sampling
     # (ops/rays.py ray_aabb_near_far; off = reference-exact z ranges).
     aabb_clip: bool = False
+    # Sort-free hierarchical sampling: draw the importance samples already
+    # sorted (exponential-spacings order statistics — identical multiset
+    # law) and rank-merge them with the sorted stratified z's instead of the
+    # reference's full sort of the concatenation (run_nerf_helpers.py:551).
+    # Off = reference-exact RNG stream.
+    fast_merge: bool = False
 
     def eval_mode(self) -> "RenderConfig":
         """perturb off, noise off (reference run_nerf_helpers.py:196-198)."""
@@ -108,15 +114,37 @@ def render_rays(
             sparsity_loss0=out.sparsity_loss,
         )
         z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        z_samples = sample_pdf(
-            k_pdf,
-            z_vals_mid,
-            out.weights[..., 1:-1],
-            cfg.N_importance,
-            det=(not cfg.perturb),
-        )
-        z_samples = jax.lax.stop_gradient(z_samples)
-        z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
+        if cfg.fast_merge:
+            # Pre-sorted uniforms -> monotone inverse-CDF -> sorted
+            # z_samples; z_vals is sorted by construction (stratified jitter
+            # stays within disjoint intervals), so the union needs only a
+            # rank-based merge — no generic sort in the hot path.
+            from hashnerf_tpu.ops.sampling import merge_sorted, sorted_uniform
+
+            u = None
+            if cfg.perturb:
+                R_mid = z_vals_mid.shape[0]
+                u = sorted_uniform(k_pdf, (R_mid, cfg.N_importance))
+            z_samples = sample_pdf(
+                k_pdf,
+                z_vals_mid,
+                out.weights[..., 1:-1],
+                cfg.N_importance,
+                det=(not cfg.perturb),
+                u=u,
+            )
+            z_samples = jax.lax.stop_gradient(z_samples)
+            z_vals = merge_sorted(z_vals, z_samples)
+        else:
+            z_samples = sample_pdf(
+                k_pdf,
+                z_vals_mid,
+                out.weights[..., 1:-1],
+                cfg.N_importance,
+                det=(not cfg.perturb),
+            )
+            z_samples = jax.lax.stop_gradient(z_samples)
+            z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
         raw = run_query(state, pts, viewdirs, bbox, fine=True)
         out = raw2outputs(

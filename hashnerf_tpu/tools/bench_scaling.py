@@ -30,26 +30,70 @@ import time
 _DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
                 "f64": 8, "s64": 8, "u64": 8, "u8": 1, "s8": 1}
 
+# one collective instruction: "%name = <shape-or-tuple> kind(operands...)"
 _COLL_RE = re.compile(
-    r"(\w+)\[([\d,]*)\][^=]*\b"
-    r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)\b"
+    r"=\s*(\([^)]*\)|[\w\[\]{},]+)\s+"
+    r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+    r"(-start|-done)?\("
 )
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def _shape_bytes(shape_text: str) -> int:
+    """Total bytes of one shape or a tuple of shapes (sums every operand)."""
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(shape_text):
+        n = _DTYPE_BYTES.get(dtype, 4)
+        for d in filter(None, dims.split(",")):
+            n *= int(d)
+        total += n
+    return total
 
 
 def hlo_collective_summary(hlo_text: str) -> dict:
-    """Sum output bytes of collective ops in partitioned HLO, per op kind."""
+    """Sum output bytes of collective ops in partitioned HLO, per op kind.
+
+    Async pairs are deduped (the -done result repeats the payload shape —
+    only -start / sync forms are counted), and tuple-shaped collectives sum
+    ALL their tensors, fixing the round-3 over/under-counting (ADVICE r3 #2).
+    """
     out = {}
     for m in _COLL_RE.finditer(hlo_text):
-        dtype, shape_s, kind = m.group(1), m.group(2), m.group(3)
-        if kind.endswith("-start"):
-            kind = kind[: -len("-start")]
-        nbytes = _DTYPE_BYTES.get(dtype, 4)
-        for d in filter(None, shape_s.split(",")):
-            nbytes *= int(d)
+        shape_text, kind, suffix = m.group(1), m.group(2), m.group(3)
+        if suffix == "-done":
+            continue  # counted at -start
+        nbytes = _shape_bytes(shape_text)
         ent = out.setdefault(kind, {"count": 0, "bytes": 0})
         ent["count"] += 1
         ent["bytes"] += nbytes
     return out
+
+
+def hlo_overlap_report(hlo_text: str) -> dict:
+    """Evidence for collective/compute overlap from the compiled module:
+    for each async -start, count the instructions scheduled between it and
+    its matching -done (0 = fully synchronous; >0 = the scheduler placed
+    compute inside the communication window)."""
+    starts = {}
+    gaps = []
+    lines = hlo_text.splitlines()
+    for i, ln in enumerate(lines):
+        mm = re.search(r"%?([\w.\-]+) = .*\b(all-reduce|all-gather|"
+                       r"reduce-scatter|collective-permute)-start\(", ln)
+        if mm:
+            starts[mm.group(1)] = i
+            continue
+        md = re.search(r"-done\(([^),]+)", ln)
+        if md:
+            ref = md.group(1).lstrip("%")
+            if ref in starts:
+                gaps.append(i - starts.pop(ref) - 1)
+    return {
+        "async_pairs": len(gaps),
+        "median_insts_inside_window": (sorted(gaps)[len(gaps) // 2]
+                                       if gaps else None),
+        "max_insts_inside_window": max(gaps) if gaps else None,
+    }
 
 
 def _tiny_timing_args(config_parser, n_rand):

@@ -121,6 +121,27 @@ def config_parser() -> argparse.ArgumentParser:
     parser.add_argument("--occ_keep_fraction", type=float, default=0.5)
     parser.add_argument("--occ_update_every", type=int, default=16)
     parser.add_argument("--occ_warmup", type=int, default=256)
+    parser.add_argument("--occ_partition", type=str, default="sort1",
+                        choices=["sort2", "sort1", "cumsum"],
+                        help="keep-budget selection: sort2 = two argsorts "
+                        "(round-3 path), sort1 = one argsort + scatter "
+                        "inverse, cumsum = sort-free histogram-threshold "
+                        "partition (approximate top-k)")
+    parser.add_argument("--occ_adaptive_update", action="store_true",
+                        help="importance-sample half the grid-update cells "
+                        "near the current surface (top macro-blocks + "
+                        "neighbor dilation) instead of all-uniform")
+    parser.add_argument("--occ_keep_schedule", type=str, default=None,
+                        help="annealed keep budget: 'STEP:FRAC,STEP:FRAC,...'"
+                        " — from each STEP on, use FRAC (e.g. "
+                        "'0:0.5,512:0.25,1024:0.125'); overrides "
+                        "--occ_keep_fraction")
+    parser.add_argument("--fast_merge", action="store_true",
+                        help="sort-free hierarchical sampling: draw "
+                        "importance samples pre-sorted (order-statistics "
+                        "construction, identical multiset law) and "
+                        "rank-merge with the stratified z's instead of "
+                        "sorting the concatenation")
     parser.add_argument("--num_devices", type=int, default=0,
                         help="N>1: shard rays over an N-device data-parallel "
                         "mesh (params replicated, grads all-reduced over "

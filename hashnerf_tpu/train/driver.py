@@ -69,8 +69,11 @@ def render_config_from_args(args, ndc: bool = False, lindisp: bool = False) -> R
             keep_fraction=getattr(args, "occ_keep_fraction", 0.5),
             update_every=getattr(args, "occ_update_every", 16),
             warmup_steps=getattr(args, "occ_warmup", 256),
+            partition=getattr(args, "occ_partition", "sort1"),
+            adaptive_update=getattr(args, "occ_adaptive_update", False),
         )
     return RenderConfig(
+        fast_merge=getattr(args, "fast_merge", False),
         N_samples=args.N_samples,
         N_importance=args.N_importance,
         perturb=args.perturb > 0.0,
@@ -250,7 +253,33 @@ class Trainer:
             self.bbox = jnp.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]], jnp.float32)
             self.near, self.far = 2.0, 6.0
 
+        # Annealed keep budget: "STEP:FRAC,..." — loose while the occupancy
+        # grid stabilizes, tight once it has (each FRAC is a STATIC shape, so
+        # each schedule segment is its own compiled block program).
+        self.keep_schedule = None
+        ks = getattr(args, "occ_keep_schedule", None)
+        if ks and self.render_cfg.occupancy is not None:
+            pairs = []
+            for tok in str(ks).split(","):
+                s, f = tok.split(":")
+                pairs.append((int(s), float(f)))
+            self.keep_schedule = sorted(pairs)
+
         self._train_step = self._build_train_step()
+
+    def _keep_at(self, step: int) -> Tuple[float, Optional[int]]:
+        """(keep_fraction at `step`, next schedule boundary > step or None)."""
+        occ = self.render_cfg.occupancy
+        base = occ.keep_fraction if occ is not None else 0.0
+        if not self.keep_schedule:
+            return base, None
+        keep, nxt = base, None
+        for b, f in self.keep_schedule:
+            if step >= b:
+                keep = f
+            elif nxt is None:
+                nxt = b
+        return keep, nxt
 
     def _shard_rays_constraint(self, batch: Dict[str, jnp.ndarray]):
         """Inside-jit sharding annotation: every per-ray array split over the
@@ -270,9 +299,9 @@ class Trainer:
     def _build_train_step(self):
         optimizer = self.optimizer
 
-        def build(with_tv: bool):
+        def build(with_tv: bool, keep: Optional[float] = None):
             loss_fn = make_loss_fn(
-                self.args, self.render_cfg, self.query_fn, self.bbox,
+                self.args, self._render_cfg_for(keep), self.query_fn, self.bbox,
                 self.model_cfg.hash_grid, with_tv=with_tv,
             )
 
@@ -292,8 +321,19 @@ class Trainer:
 
         self._train_step_tv = build(True)
         self._train_step_no_tv = build(False)
+        self._build_step_fn = build
+        self._step_fn_cache = {}
         self._init_occupancy()
         return self._train_step_tv
+
+    def _get_step_fn(self, with_tv: bool, keep: Optional[float]):
+        if keep is None:
+            return self._train_step_tv if with_tv else self._train_step_no_tv
+        key = (with_tv, keep)
+        fn = self._step_fn_cache.get(key)
+        if fn is None:
+            fn = self._step_fn_cache[key] = self._build_step_fn(with_tv, keep)
+        return fn
 
     def _init_occupancy(self):
         """Occupancy grid state + jitted updater (opt-in via --use_occupancy)."""
@@ -315,8 +355,10 @@ class Trainer:
         R = occ_cfg.resolution
 
         def occ_update(grid, key, state):
+            from hashnerf_tpu.render.occupancy import sample_update_cells
+
             k_cell, k_jit = jax.random.split(key)
-            cells = jax.random.randint(k_cell, (occ_cfg.n_update_samples,), 0, occ_cfg.n_cells)
+            cells = sample_update_cells(grid, k_cell, occ_cfg)
             ijk = jnp.stack(
                 [cells // (R * R), (cells // R) % R, cells % R], axis=-1
             ).astype(jnp.float32)
@@ -341,7 +383,10 @@ class Trainer:
         # Warmup-only TV (reference run_nerf.py:637-638); the TV-free variant
         # compiles the regularizer away entirely.
         tv_w = self.args.tv_loss_weight if self.global_step <= 1000 else 0.0
-        step_fn = self._train_step_tv if tv_w > 0 else self._train_step_no_tv
+        keep = None
+        if self.keep_schedule and self.render_cfg.occupancy is not None:
+            keep, _ = self._keep_at(self.global_step)
+        step_fn = self._get_step_fn(tv_w > 0, keep)
         if "viewdirs" not in batch and self.render_cfg.use_viewdirs:
             d = batch["rays_d"]
             batch = dict(batch)
@@ -382,7 +427,19 @@ class Trainer:
         self._d_i_train = jnp.asarray(np.asarray(sc.i_train), jnp.int32)
         self._block_cache = {}
 
-    def _build_block(self, n_steps: int, with_tv: bool, occ_mode, precrop: bool):
+    def _render_cfg_for(self, keep: Optional[float]) -> RenderConfig:
+        """render_cfg with the occupancy keep budget overridden (annealed
+        schedule); identity when keep is None or already matches."""
+        occ = self.render_cfg.occupancy
+        if keep is None or occ is None or keep == occ.keep_fraction:
+            return self.render_cfg
+        return dataclasses.replace(
+            self.render_cfg,
+            occupancy=dataclasses.replace(occ, keep_fraction=keep),
+        )
+
+    def _build_block(self, n_steps: int, with_tv: bool, occ_mode, precrop: bool,
+                     keep: Optional[float] = None):
         """One jitted function = `n_steps` full optimization steps via
         lax.scan, with on-device per-image random-pixel ray sampling.
 
@@ -393,13 +450,15 @@ class Trainer:
 
         occ_mode: None (no occupancy), "update" (maintain grid, no culling
         yet — warmup), "cull" (maintain grid + budgeted top-k culling).
+        keep: occupancy keep_fraction override (annealed schedule).
         """
         from hashnerf_tpu.ops.rays import get_rays_at
 
         args = self.args
         optimizer = self.optimizer
+        render_cfg = self._render_cfg_for(keep)
         loss_fn = make_loss_fn(
-            args, self.render_cfg, self.query_fn, self.bbox,
+            args, render_cfg, self.query_fn, self.bbox,
             self.model_cfg.hash_grid, with_tv=with_tv,
         )
         images, poses = self._d_images, self._d_poses
@@ -408,7 +467,7 @@ class Trainer:
         n_rand = args.N_rand
         near, far = self.near, self.far
         use_vdirs = self.render_cfg.use_viewdirs
-        occ_cfg = self.render_cfg.occupancy
+        occ_cfg = render_cfg.occupancy
 
         if precrop:
             dH = int(H // 2 * args.precrop_frac)
@@ -552,6 +611,13 @@ class Trainer:
                     # blocks — readiness is re-checked per block.
                     k = min(k, occ_cfg.warmup_steps - self.global_step)
 
+            keep = None
+            if occ_mode == "cull" and self.keep_schedule:
+                keep, nxt = self._keep_at(self.global_step)
+                if nxt is not None:
+                    # stop at the next anneal boundary (static keep per block)
+                    k = min(k, nxt - self.global_step)
+
             b = min(k, block_size)
             if occ_mode is not None:
                 if occ_mode == "update":
@@ -569,10 +635,10 @@ class Trainer:
                     remaining -= 1
                 continue
 
-            cache_key = (b, use_tv, occ_mode, precrop)
+            cache_key = (b, use_tv, occ_mode, precrop, keep)
             fn = self._block_cache.get(cache_key)
             if fn is None:
-                fn = self._build_block(b, use_tv, occ_mode, precrop)
+                fn = self._build_block(b, use_tv, occ_mode, precrop, keep=keep)
                 self._block_cache[cache_key] = fn
             self.key, kb = jax.random.split(self.key)
             tv_w = jnp.float32(args.tv_loss_weight if use_tv else 0.0)
@@ -593,20 +659,21 @@ class Trainer:
     # (run_nerf.py:417-428) at one dispatch per block.
     # ------------------------------------------------------------------ #
     def _build_pool_block(self, n_steps: int, with_tv: bool, occ_mode,
-                          pool_keys: tuple):
+                          pool_keys: tuple, keep: Optional[float] = None):
         """occ_mode: None / "update" / "cull" — same occupancy lifecycle as
         `_build_block` (the pool path previously hardcoded occ_grid=None,
         silently ignoring --use_occupancy for batching/st3d runs)."""
         args = self.args
         optimizer = self.optimizer
+        render_cfg = self._render_cfg_for(keep)
         loss_fn = make_loss_fn(
-            args, self.render_cfg, self.query_fn, self.bbox,
+            args, render_cfg, self.query_fn, self.bbox,
             self.model_cfg.hash_grid, with_tv=with_tv,
         )
         n_rand = args.N_rand
         near, far = self.near, self.far
         use_vdirs = self.render_cfg.use_viewdirs
-        occ_cfg = self.render_cfg.occupancy
+        occ_cfg = render_cfg.occupancy
 
         def train_one(state, opt_state, pool, offset, k_step, tv_w, occ_grid):
             batch = {
@@ -721,6 +788,12 @@ class Trainer:
                 if not active and self.global_step < occ_cfg.warmup_steps:
                     k = min(k, occ_cfg.warmup_steps - self.global_step)
 
+            keep = None
+            if occ_mode == "cull" and self.keep_schedule:
+                keep, nxt = self._keep_at(self.global_step)
+                if nxt is not None:
+                    k = min(k, nxt - self.global_step)
+
             b = min(k, block_size)
             if occ_mode is not None:
                 if occ_mode == "update":
@@ -743,10 +816,11 @@ class Trainer:
                         done += 1
                     continue
 
-            cache_key = (b, use_tv, occ_mode, pool_keys)
+            cache_key = (b, use_tv, occ_mode, pool_keys, keep)
             fn = self._pool_block_cache.get(cache_key)
             if fn is None:
-                fn = self._build_pool_block(b, use_tv, occ_mode, pool_keys)
+                fn = self._build_pool_block(b, use_tv, occ_mode, pool_keys,
+                                            keep=keep)
                 self._pool_block_cache[cache_key] = fn
             self.key, kb = jax.random.split(self.key)
             tv_w = jnp.float32(args.tv_loss_weight if use_tv else 0.0)
@@ -853,7 +927,9 @@ class Trainer:
         save_checkpoint(savepath, self.global_step, self.state, self.opt_state)
 
     def try_restore(self, savedir: str, ft_path: Optional[str] = None) -> bool:
-        loaded = load_latest_checkpoint(savedir, self.state, self.opt_state, ft_path)
+        loaded = load_latest_checkpoint(
+            savedir, self.state, self.opt_state, ft_path, mesh=self.mesh
+        )
         if loaded is None:
             return False
         self.global_step, self.state, self.opt_state = loaded

@@ -155,21 +155,35 @@ def total_variation_loss_packed(
 
     n_fine = len(pcfg.fine_resolutions)
     if n_fine:
-        n_rows = tables["fine"].shape[0]
-        # one shared batch of rows across fine levels; 18 diffs/axis/slab.
-        # Sample ~cube-equivalent volume: a reference cube at cube_size=50
-        # touches ~51^3 vertices; 4900 slabs x 27 is the same order.
-        k_rows = 4096
-        ridx = jax.random.randint(keys[-1], (k_rows,), 0, n_rows)
-        slabs = take_rows(tables["fine"], ridx).reshape(k_rows, 3, 3, 3, F)
-        tv = (
-            jnp.sum((slabs[:, 1:] - slabs[:, :-1]) ** 2)
-            + jnp.sum((slabs[:, :, 1:] - slabs[:, :, :-1]) ** 2)
-            + jnp.sum((slabs[:, :, :, 1:] - slabs[:, :, :, :-1]) ** 2)
+        n_dense = len(pcfg.dense_resolutions)
+        rows_per_level = tables["fine"].shape[0] // n_fine
+        # Per-level row batches with per-level normalization derived from
+        # _tv_level_geometry, so --tv-loss-weight carries the same meaning
+        # across dense and fine levels as the reference's per-level cuboid
+        # TV (each level's expected contribution matches a cube_size-sized
+        # cube: k*18 sampled diffs/axis scaled up to ~cube_size^3 and then
+        # divided by cube_size like loss.py:43). All levels share ONE gather.
+        k_rows = max(4096 // n_fine, 512)
+        ridx_parts, weights = [], []
+        for fi in range(n_fine):
+            li = n_dense + fi
+            _, cube_size = _tv_level_geometry(
+                pcfg.base_resolution, pcfg.finest_resolution, li, n_levels
+            )
+            ridx_parts.append(
+                fi * rows_per_level
+                + jax.random.randint(keys[li], (k_rows,), 0, rows_per_level)
+            )
+            weights.append((float(cube_size) ** 3 / (k_rows * 18.0)) / cube_size)
+        slabs = take_rows(tables["fine"], jnp.concatenate(ridx_parts)).reshape(
+            n_fine, k_rows, 3, 3, 3, F
         )
-        # normalize to the reference's sum/cube_size scale: the slab batch
-        # holds k*18 diffs/axis vs the cube's ~cube_size^3; scale to match.
-        total = total + tv * (50.0**3 / (k_rows * 18.0)) / 50.0
+        per_level = (
+            jnp.sum((slabs[:, :, 1:] - slabs[:, :, :-1]) ** 2, axis=(1, 2, 3, 4, 5))
+            + jnp.sum((slabs[:, :, :, 1:] - slabs[:, :, :, :-1]) ** 2, axis=(1, 2, 3, 4, 5))
+            + jnp.sum((slabs[..., 1:, :] - slabs[..., :-1, :]) ** 2, axis=(1, 2, 3, 4, 5))
+        )
+        total = total + jnp.dot(per_level, jnp.asarray(weights, jnp.float32))
     return total
 
 

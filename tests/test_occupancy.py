@@ -145,3 +145,81 @@ def test_budgeted_culling_bias_bound_on_trained_field():
         f"culling bias {psnr_vs_full:.1f} dB too close to model error "
         f"{psnr_vs_gt:.1f} dB"
     )
+
+
+def test_cull_points_modes_agree():
+    """sort1 must equal sort2 exactly; cumsum must keep >= the same score
+    mass minus one histogram bin's worth."""
+    from hashnerf_tpu.render.occupancy import cull_points
+
+    rng = np.random.default_rng(11)
+    scores = jnp.asarray(rng.gamma(0.3, 2.0, 4096).astype(np.float32))
+    K = 512
+    k2, o2, i2 = cull_points(scores, K, mode="sort2")
+    k1, o1, i1 = cull_points(scores, K, mode="sort1")
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+    kc, oc, ic = cull_points(scores, K, mode="cumsum")
+    # valid permutation pair
+    oc_np, ic_np = np.asarray(oc), np.asarray(ic)
+    np.testing.assert_array_equal(oc_np[ic_np], np.arange(scores.shape[0]))
+    # kept score mass within one histogram bin of exact top-k
+    exact = np.sort(np.asarray(scores))[::-1][:K].sum()
+    got = np.asarray(scores)[np.asarray(kc)].sum()
+    assert got >= 0.90 * exact
+
+
+def test_cull_points_cumsum_keeps_all_above_threshold():
+    """every point whose score strictly dominates the budget population must
+    land in the kept set (positions < K)."""
+    from hashnerf_tpu.render.occupancy import cull_points
+
+    rng = np.random.default_rng(5)
+    scores_np = np.zeros(2048, np.float32)
+    hot = rng.choice(2048, 100, replace=False)
+    scores_np[hot] = rng.uniform(5.0, 9.0, 100).astype(np.float32)
+    K = 256
+    kept, order, inv = cull_points(jnp.asarray(scores_np), K, mode="cumsum")
+    kept_set = set(np.asarray(kept).tolist())
+    assert set(hot.tolist()) <= kept_set
+
+
+def test_sample_update_cells_adaptive_targets_hot_blocks():
+    from hashnerf_tpu.render.occupancy import (
+        OccupancyConfig, sample_update_cells,
+    )
+
+    cfg = OccupancyConfig(resolution=128, n_update_samples=4096,
+                          adaptive_update=True)
+    grid = jnp.zeros((cfg.n_cells,), jnp.float32)
+    # one hot 8^3 region around cell (64, 64, 64)
+    R = cfg.resolution
+    ii, jj, kk = np.meshgrid(*(np.arange(60, 68),) * 3, indexing="ij")
+    hot_cells = ((ii * R + jj) * R + kk).reshape(-1)
+    grid = grid.at[jnp.asarray(hot_cells)].set(5.0)
+
+    cells = np.asarray(sample_update_cells(grid, jax.random.PRNGKey(0), cfg))
+    assert cells.shape == (4096,)
+    assert np.all((cells >= 0) & (cells < cfg.n_cells))
+    # the importance half should land near the hot region far above the
+    # uniform rate (hot region+dilation is ~1e-4 of the volume)
+    ci = cells // (R * R); cj = (cells // R) % R; ck = cells % R
+    near = (np.abs(ci - 63) <= 8) & (np.abs(cj - 63) <= 8) & (np.abs(ck - 63) <= 8)
+    assert near.mean() > 0.3
+
+
+def test_adaptive_update_uniform_fallback():
+    from hashnerf_tpu.render.occupancy import (
+        OccupancyConfig, sample_update_cells,
+    )
+
+    cfg = OccupancyConfig(resolution=96, n_update_samples=1024,
+                          adaptive_update=True)  # 96 % 32 == 0 -> adaptive ok
+    cfg2 = OccupancyConfig(resolution=100, n_update_samples=1024,
+                           adaptive_update=True)  # not divisible -> uniform
+    g = jnp.ones((cfg.n_cells,), jnp.float32)
+    g2 = jnp.ones((cfg2.n_cells,), jnp.float32)
+    assert sample_update_cells(g, jax.random.PRNGKey(0), cfg).shape == (1024,)
+    assert sample_update_cells(g2, jax.random.PRNGKey(0), cfg2).shape == (1024,)

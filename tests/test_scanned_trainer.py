@@ -173,3 +173,33 @@ def test_run_steps_pool_with_occupancy(scene):
     m = t.run_steps_pool(pool, 8 * n_rand, 4, block_size=4)
     assert t.global_step == 12
     assert np.isfinite(float(m["loss"]))
+
+
+def test_keep_schedule_anneals_across_blocks(scene):
+    """--occ_keep_schedule must split blocks at anneal boundaries and build
+    per-keep compiled programs; training stays finite across transitions."""
+    args = tiny_args(use_occupancy=True, occ_warmup=4, occ_update_every=4,
+                     occ_keep_fraction=0.5, occ_resolution=16,
+                     occ_keep_schedule="0:0.5,8:0.25,16:0.125")
+    t = Trainer(args, scene)
+    assert t.keep_schedule == [(0, 0.5), (8, 0.25), (16, 0.125)]
+    assert t._keep_at(0) == (0.5, 8)
+    assert t._keep_at(8) == (0.25, 16)
+    assert t._keep_at(99) == (0.125, None)
+    m = t.run_steps(24, block_size=24)
+    assert t.global_step == 24
+    assert np.isfinite(float(m["loss"]))
+    # distinct compiled blocks for distinct keeps once culling is active
+    keeps = {k[4] for k in t._block_cache if k[2] == "cull"}
+    assert len(keeps) >= 2
+
+
+def test_cumsum_partition_trains(scene):
+    args = tiny_args(use_occupancy=True, occ_warmup=4, occ_update_every=4,
+                     occ_keep_fraction=0.5, occ_resolution=16,
+                     occ_partition="cumsum", occ_adaptive_update=True,
+                     fast_merge=True)
+    t = Trainer(args, scene)
+    m = t.run_steps(12, block_size=4)
+    assert t.global_step == 12
+    assert np.isfinite(float(m["loss"]))

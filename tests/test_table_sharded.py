@@ -121,3 +121,88 @@ def test_table_sharded_full_train_step():
         np.asarray(state2.hash_table), np.asarray(s_ref.hash_table),
         rtol=1e-4, atol=1e-7,
     )
+
+
+def test_table_sharded_checkpoint_roundtrip(tmp_path):
+    """Save a table-sharded trainer, restore into a FRESH trainer on a fresh
+    mesh: shardings re-placed (table + moments on 'model'), next-step loss
+    identical to the uninterrupted run (SURVEY §5.4 / VERDICT r3 #6)."""
+    from jax.sharding import PartitionSpec as P
+    from hashnerf_tpu.parallel.table_sharded import (
+        make_table_sharded_trainer, restore_table_sharded, save_table_sharded,
+    )
+    from hashnerf_tpu.data.synthetic import make_synthetic_scene
+    from hashnerf_tpu.train.driver import Trainer
+    from tests.test_train_e2e import tiny_args
+
+    scene = make_synthetic_scene(H=32, W=32, n_train=4, n_test=1)
+    args = tiny_args(N_rand=64, N_samples=8, N_importance=8, chunk=1024)
+    args.n_levels = 8
+    bbox = np.stack(scene.bounding_box)
+
+    mesh = make_table_mesh(2, 4)
+    state, opt_state, train_step = make_table_sharded_trainer(
+        mesh, args, jax.random.PRNGKey(5), bbox, scene.near, scene.far
+    )
+    helper = Trainer(args, scene, key=jax.random.PRNGKey(11))
+    batch = helper.sample_image(int(scene.i_train[0]), 64, precrop=False)
+    d = batch["rays_d"]
+    batch["viewdirs"] = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    state, opt_state, _ = train_step(state, opt_state, dict(batch),
+                                     jax.random.PRNGKey(7))
+    path = str(tmp_path / "000002.ckpt")
+    save_table_sharded(path, 2, state, opt_state)
+
+    # continue the original for the oracle next step
+    s_cont, o_cont, m_cont = train_step(state, opt_state, dict(batch),
+                                        jax.random.PRNGKey(9))
+
+    # fresh trainer + mesh, restore, re-run the same next step
+    mesh2 = make_table_mesh(2, 4)
+    st2, opt2, train_step2 = make_table_sharded_trainer(
+        mesh2, args, jax.random.PRNGKey(99), bbox, scene.near, scene.far
+    )
+    step, st2, opt2 = restore_table_sharded(path, mesh2, st2, opt2)
+    assert step == 2
+    assert st2.hash_table.sharding.spec[0] == "model"
+    moment_leaves = [
+        x for x in jax.tree_util.tree_leaves(opt2)
+        if getattr(x, "shape", None) == st2.hash_table.shape
+    ]
+    assert moment_leaves and all(
+        l.sharding.spec[0] == "model" for l in moment_leaves
+    )
+    _, _, m_rest = train_step2(st2, opt2, dict(batch), jax.random.PRNGKey(9))
+    np.testing.assert_allclose(
+        float(m_rest["loss"]), float(m_cont["loss"]), rtol=1e-5
+    )
+
+
+def test_data_parallel_checkpoint_replaces_shardings(tmp_path):
+    """Trainer(--num_devices 8): save, restore into a fresh trainer — leaves
+    must come back replicated ON THE MESH (device_put'ed), not host arrays."""
+    from hashnerf_tpu.data.synthetic import make_synthetic_scene
+    from hashnerf_tpu.train.driver import Trainer
+    from tests.test_train_e2e import tiny_args
+
+    scene = make_synthetic_scene(H=16, W=16, n_train=2, n_test=1)
+    args = tiny_args(N_rand=64, num_devices=8)
+    t = Trainer(args, scene, key=jax.random.PRNGKey(0))
+    batch = t.sample_image(int(scene.i_train[0]), 64, precrop=False)
+    t.step(batch)
+    t.save(str(tmp_path / "000001.ckpt"))
+
+    t2 = Trainer(args, scene, key=jax.random.PRNGKey(1))
+    assert t2.try_restore(str(tmp_path))
+    assert t2.global_step == 1
+    for leaf in jax.tree_util.tree_leaves(t2.state):
+        sh = getattr(leaf, "sharding", None)
+        assert sh is not None and len(sh.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(t2.state.coarse)[0]),
+        np.asarray(jax.tree_util.tree_leaves(t.state.coarse)[0]),
+        rtol=1e-6,
+    )
+    m = t2.step(batch)
+    assert np.isfinite(float(m["loss"]))

@@ -160,3 +160,33 @@ def test_tpu_fast_preset_training(scene):
         psnrs.append(float(m["psnr"]))
         assert np.isfinite(psnrs[-1])
     assert np.mean(psnrs[-10:]) > np.mean(psnrs[:10]) + 1.5
+
+
+def test_tv_packed_magnitude_comparable_to_unpacked():
+    """The packed TV must sit at the same order of magnitude as the
+    reference-style per-level cuboid TV for an equally-scaled table, so
+    --tv-loss-weight carries the same meaning across layouts (ADVICE r3 #3)."""
+    import jax
+    import jax.numpy as jnp
+    from hashnerf_tpu.ops.packed_grid import PackedGridConfig, init_packed_tables
+    from hashnerf_tpu.train.losses import (
+        total_variation_loss_all_levels,
+        total_variation_loss_packed,
+    )
+
+    pcfg = PackedGridConfig(
+        n_levels=4, n_features_per_level=4, log2_hashmap_size=14,
+        base_resolution=16, finest_resolution=128, log2_blocks=11,
+    )
+    key = jax.random.PRNGKey(0)
+    tables = init_packed_tables(key, pcfg)
+    # same element scale for both layouts: N(0, 0.01)
+    tables = jax.tree_util.tree_map(
+        lambda x: jax.random.normal(key, x.shape) * 0.01, tables
+    )
+    table_ref = jax.random.normal(key, (4, 1 << 14, 4)) * 0.01
+    tv_packed = float(total_variation_loss_packed(key, tables, pcfg))
+    tv_ref = float(total_variation_loss_all_levels(key, table_ref, 16, 128, 14))
+    assert tv_packed > 0 and tv_ref > 0
+    ratio = tv_packed / tv_ref
+    assert 0.05 < ratio < 20.0, f"TV magnitude mismatch: ratio {ratio}"
