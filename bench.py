@@ -97,6 +97,14 @@ def build_trainer():
         args.occ_keep_fraction = float(os.environ.get("BENCH_KEEP", "0.25"))
         args.occ_warmup = 8
         args.aabb_clip = True
+        # round-4 execution knobs (defaults = the measured-best set):
+        # sort-free hierarchical merge, single-argsort cull partition,
+        # importance-sampled grid updates.
+        args.fast_merge = bool(int(os.environ.get("BENCH_FASTMERGE", "1")))
+        args.occ_partition = os.environ.get("BENCH_PARTITION", "sort1")
+        args.occ_adaptive_update = bool(
+            int(os.environ.get("BENCH_ADAPTIVE", "1"))
+        )
         # N_rand=1024: the REFERENCE's exact batch (honest vs_baseline), the
         # best measured per-iteration convergence (r1fast curve family), AND
         # the best measured rays/s under the packed layout (tpu_lab variants:

@@ -258,8 +258,54 @@ def collective_volumes(n_devices=8):
         "config": "log2T=21 table level-sharded (268 MB), N_rand=4096",
         "collectives_per_step": summ2,
         "total_mb": round(sum(v["bytes"] for v in summ2.values()) / 1e6, 2),
+        "overlap": hlo_overlap_report(compiled2.as_text()),
     }
     print(json.dumps(out["table_sharded"]), flush=True)
+
+    # --- mode 3: ZeRO-1 data-parallel (bf16 RS grads + bf16 AG params) --- #
+    from hashnerf_tpu.parallel.train_sharded import (
+        init_dp_zero, make_dp_zero_train_step,
+    )
+
+    build = make_dp_zero_train_step(mesh, loss_fn, trainer.optimizer)
+    master, zopt = init_dp_zero(mesh, trainer.state, trainer.optimizer)
+    zstep = build(trainer.state, zopt)
+    compiled3 = zstep.lower(
+        master, zopt, batch, jax.random.PRNGKey(0), jnp.float32(0.0)
+    ).compile()
+    txt3 = compiled3.as_text()
+    summ3 = hlo_collective_summary(txt3)
+    # ring-model wire bytes per device (what DCN actually carries):
+    #   all-reduce X:      2*X*(n-1)/n     all-gather out X:  X*(n-1)/n
+    #   reduce-scatter in X: X*(n-1)/n
+    n = n_devices
+
+    def wire_mb(summ):
+        # HLO shapes are PER-DEVICE: all-reduce/all-gather outputs are the
+        # full array, reduce-scatter's output is the 1/n shard.
+        w = 0.0
+        for kind, ent in summ.items():
+            if kind == "all-reduce":
+                w += 2 * ent["bytes"] * (n - 1) / n
+            elif kind == "reduce-scatter":
+                w += ent["bytes"] * (n - 1)
+            else:
+                w += ent["bytes"] * (n - 1) / n
+        return round(w / 1e6, 2)
+
+    out["data_parallel"]["wire_mb_per_device"] = wire_mb(summ)
+    out["data_parallel"]["overlap"] = hlo_overlap_report(compiled.as_text())
+    out["table_sharded"]["wire_mb_per_device"] = wire_mb(summ2)
+    out["data_parallel_zero"] = {
+        "mesh": {"data": n_devices},
+        "config": "chair flagship, ZeRO-1: bf16 reduce-scatter grads + "
+                  "sharded fp32 masters/moments + bf16 param all-gather",
+        "collectives_per_step": summ3,
+        "total_mb": round(sum(v["bytes"] for v in summ3.values()) / 1e6, 2),
+        "wire_mb_per_device": wire_mb(summ3),
+        "overlap": hlo_overlap_report(txt3),
+    }
+    print(json.dumps(out["data_parallel_zero"]), flush=True)
     return out
 
 

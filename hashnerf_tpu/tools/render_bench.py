@@ -1,0 +1,130 @@
+"""Full-scale shape validation: train + render at the reference's native
+800x800 on a real on-disk blender-format dataset (VERDICT r3 #4).
+
+Runs the ACTUAL pipeline (blender loader -> frustum bbox -> flagship
+training -> full-frame test renders at 640k rays/frame, the
+run_nerf_helpers.py:395-459 render_path protocol) and records:
+  * training rays/s at full scale (scanned blocks);
+  * seconds/frame + frames/s for full-image rendering (after warmup);
+  * test PSNR (sanity: the field actually fits the scene);
+  * peak-ish memory survival (the run completing IS the OOM gate).
+
+Writes RENDER_r04.json at the repo root.
+
+Usage (the dataset comes from tools/make_blender_dataset.py):
+  python -m hashnerf_tpu.tools.render_bench [--datadir datasets/proc_multi_800]
+      [--iters 500] [--frames 8] [--chunk 16384] [--half_res]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--datadir", default=os.path.join(REPO, "datasets/proc_multi_800"))
+    p.add_argument("--iters", type=int, default=500)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--chunk", type=int, default=16384)
+    p.add_argument("--half_res", action="store_true")
+    p.add_argument("--json-out", default=os.path.join(REPO, "RENDER_r04.json"))
+    a = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".cache", "jax"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+
+    from hashnerf_tpu.data.blender import load_blender_scene
+    from hashnerf_tpu.train.config import parse_args as parse_cli
+    from hashnerf_tpu.train.driver import Trainer
+
+    t0 = time.time()
+    scene = load_blender_scene(a.datadir, half_res=a.half_res, testskip=8,
+                               white_bkgd=True)
+    print(f"# loaded {scene.images.shape} in {time.time()-t0:.1f}s "
+          f"(train {len(scene.i_train)}, test {len(scene.i_test)})",
+          flush=True)
+
+    args = parse_cli([
+        "--preset", "tpu-fast",
+        "--dataset_type", "blender",
+        "--datadir", a.datadir,
+        "--expname", "render_bench",
+        "--no_batching", "--white_bkgd",
+        "--N_rand", "1024", "--N_samples", "64", "--N_importance", "128",
+        "--finest_res", "512", "--log2_hashmap_size", "19",
+        "--lrate", "0.01", "--lrate_decay", "10",
+        "--fast_merge",
+        "--occ_adaptive_update",
+        "--chunk", str(a.chunk),
+    ])
+    args.occ_warmup = 64
+    trainer = Trainer(args, scene)
+
+    # --- training at full scale (800x800 source images on device) -------- #
+    block = 128
+    done = 0
+    t_train = 0.0
+    rates = []
+    while done < a.iters:
+        b = min(block, a.iters - done)
+        tb = time.time()
+        m = trainer.run_steps(b, block_size=b)
+        float(m["loss"])
+        dt = time.time() - tb
+        rates.append(b * args.N_rand / dt)
+        t_train += dt
+        done = trainer.global_step
+        print(f"# iter {done}: loss {float(m['loss']):.4f} "
+              f"({rates[-1]:.0f} rays/s incl. compile)", flush=True)
+    steady_rate = max(rates)  # best block = no compile in it
+
+    # --- full-frame rendering at native resolution ----------------------- #
+    H, W = scene.H, scene.W
+    n_frames = min(a.frames, len(scene.i_test))
+    psnrs, frame_s = [], []
+    for j, idx in enumerate(list(scene.i_test)[:n_frames]):
+        tf = time.time()
+        rgb, depth, acc, _ = trainer.render_image(scene.poses[idx])
+        rgb = np.asarray(rgb)
+        dt = time.time() - tf
+        gt = np.asarray(scene.images[idx])
+        psnr = -10.0 * np.log10(np.mean(np.square(rgb - gt)))
+        psnrs.append(float(psnr))
+        if j > 0:  # frame 0 pays the eval-program compile
+            frame_s.append(dt)
+        print(f"# frame {j} ({H}x{W}): {dt:.2f}s  PSNR {psnr:.2f}", flush=True)
+
+    out = {
+        "metric": "render_frames_per_s",
+        "H": H, "W": W,
+        "rays_per_frame": H * W,
+        "value": round(1.0 / float(np.median(frame_s)), 3) if frame_s else None,
+        "unit": "frames/s",
+        "seconds_per_frame": round(float(np.median(frame_s)), 2) if frame_s else None,
+        "eval_rays_per_s": round(H * W / float(np.median(frame_s)), 1) if frame_s else None,
+        "first_frame_s_incl_compile": None,
+        "train_iters": a.iters,
+        "train_rays_per_s_best_block": round(steady_rate, 1),
+        "test_psnr_at_%d" % a.iters: round(float(np.mean(psnrs)), 2),
+        "chunk": a.chunk,
+        "dataset": os.path.basename(a.datadir),
+        "n_train_views": int(len(scene.i_train)),
+    }
+    with open(a.json_out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

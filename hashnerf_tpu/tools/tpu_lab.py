@@ -15,6 +15,10 @@ Stages:
                     scatter/top_k/MLP/RAdam) + packed-vs-hash encode probes
     probes          forward-pass decomposition at true shapes
     variants        amortized rays/s for flagship config variants
+    variants4       round-4 lever A/B (partition modes, fast_merge,
+                    adaptive updates, keep=0.125)
+    ledger          roofline ledger (PROFILE_r04.md): scan-amortized phase
+                    times vs measured primitive ceilings
     bench           repo-root bench.py (writes the JSON line)
     quality:TAG     PSNR curve; TAG in QUALITY_CONFIGS below
                     (e.g. quality:safe4096 quality:parity768 quality:packed4096)
@@ -355,23 +359,28 @@ def stage_pprofile():
     log(f"sample_pdf {R}x128:  {timeit(f, bins, w):8.1f} ms")
 
 
+def _measure_variant(scene, tag, **over):
+    from hashnerf_tpu.train.driver import Trainer
+
+    args = bench_args(**over)
+    tr = Trainer(args, scene)
+    tr.global_step = 1001
+    float(tr.run_steps(32, block_size=32)["loss"])
+    tr._occ_ready = True
+    B = 96
+    float(tr.run_steps(B, block_size=B)["loss"])
+    t = time.perf_counter()
+    float(tr.run_steps(B, block_size=B)["loss"])
+    dt = time.perf_counter() - t
+    log(f"variant {tag:36s}: {dt/B*1e3:7.1f} ms/step = {B*args.N_rand/dt:8.0f} rays/s")
+    return B * args.N_rand / dt
+
+
 def stage_variants():
     scene = _scene()
 
     def measure(tag, **over):
-        from hashnerf_tpu.train.driver import Trainer
-
-        args = bench_args(**over)
-        tr = Trainer(args, scene)
-        tr.global_step = 1001
-        float(tr.run_steps(32, block_size=32)["loss"])
-        tr._occ_ready = True
-        B = 96
-        float(tr.run_steps(B, block_size=B)["loss"])
-        t = time.perf_counter()
-        float(tr.run_steps(B, block_size=B)["loss"])
-        dt = time.perf_counter() - t
-        log(f"variant {tag:32s}: {dt/B*1e3:7.1f} ms/step = {B*args.N_rand/dt:8.0f} rays/s")
+        _measure_variant(scene, tag, **over)
 
     measure("packed 1024 aabb (bench cfg)", aabb_clip=True, packed_layout=True)
     measure("packed 1024 L4F8 keep=.125", aabb_clip=True, packed_layout=True,
@@ -380,6 +389,178 @@ def stage_variants():
             occ_keep_fraction=0.5)
     measure("packed keep=.25 aabb 4096", aabb_clip=True, N_rand=4096,
             packed_layout=True)
+
+
+def stage_variants4():
+    """Round-4 lever A/B at the L4/F8 flagship (VERDICT r3 #2): each knob
+    isolated, then the full stack, then the stack at keep=0.125."""
+    scene = _scene()
+    base = dict(aabb_clip=True, packed_layout=True)
+
+    def measure(tag, **over):
+        _measure_variant(scene, tag, **base, **over)
+
+    measure("r3 flagship (sort2, no merge)", occ_partition="sort2")
+    measure("+ sort1 partition", occ_partition="sort1")
+    measure("+ cumsum partition", occ_partition="cumsum")
+    measure("+ fast_merge (sort1)", occ_partition="sort1", fast_merge=True)
+    measure("+ adaptive update (sort1+fm)", occ_partition="sort1",
+            fast_merge=True, occ_adaptive_update=True)
+    measure("full stack keep=.25", occ_partition="cumsum", fast_merge=True,
+            occ_adaptive_update=True)
+    measure("full stack keep=.125", occ_partition="cumsum", fast_merge=True,
+            occ_adaptive_update=True, occ_keep_fraction=0.125)
+    measure("sort1+fm keep=.125", occ_partition="sort1", fast_merge=True,
+            occ_adaptive_update=True, occ_keep_fraction=0.125)
+
+
+# --------------------------------------------------------------------------- #
+def stage_ledger():
+    """Roofline ledger for the flagship step (VERDICT r3 #7): each phase at
+    true shapes, AMORTIZED inside one lax.scan (K reps chained through the
+    carry so XLA cannot hoist the body), against its measured primitive
+    ceiling. Writes PROFILE_r04.md."""
+    import jax
+    import jax.numpy as jnp
+
+    K_REPS = 32
+
+    def timeit_scanned(fn, x, reps=3):
+        """ms per call of fn(x), amortized over K_REPS scan iterations.
+        fn's input is perturbed by the carry so iterations are dependent."""
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                out = fn(jax.tree_util.tree_map(
+                    lambda a: a + c.astype(a.dtype) * 1e-30
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, x))
+                leaves = [o.sum().astype(jnp.float32)
+                          for o in jax.tree_util.tree_leaves(out)]
+                return c + sum(leaves) * 1e-30, None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K_REPS)
+            return c
+
+        float(run(x))
+        ts = []
+        for _ in range(reps):
+            t = time.perf_counter()
+            float(run(x))
+            ts.append(time.perf_counter() - t)
+        ts.sort()
+        return ts[len(ts) // 2] * 1e3 / K_REPS
+
+    from hashnerf_tpu.train.driver import Trainer
+
+    args = bench_args(aabb_clip=True, packed_layout=True, fast_merge=True)
+    tr = Trainer(args, _scene())
+    tr.global_step = 1001
+    float(tr.run_steps(32, block_size=32)["loss"])
+    tr._occ_ready = True
+
+    # measured step total at the same flags
+    B = 96
+    float(tr.run_steps(B, block_size=B)["loss"])
+    t = time.perf_counter()
+    float(tr.run_steps(B, block_size=B)["loss"])
+    step_ms = (time.perf_counter() - t) / B * 1e3
+    log(f"step total: {step_ms:.2f} ms")
+
+    key = jax.random.PRNGKey(0)
+    R = args.N_rand
+    occ_cfg = tr.render_cfg.occupancy
+    grid, bbox = tr.occ_grid, tr.bbox
+    pcfg = tr.model_cfg.packed_grid
+
+    from hashnerf_tpu.render.occupancy import (
+        cull_points, occupancy_scores, sample_update_cells,
+    )
+    from hashnerf_tpu.ops.packed_grid import packed_encode
+    from hashnerf_tpu.ops.sampling import merge_sorted, sample_pdf, sorted_uniform
+    from hashnerf_tpu.ops.volume import raw2outputs
+    from hashnerf_tpu.kernels.gather_vjp import take_rows
+
+    rows = []
+
+    def entry(name, ms, elems, ceiling_ns=None, note=""):
+        nspe = ms * 1e6 / elems
+        light = (f"{ceiling_ns / nspe * 100:5.1f}%" if ceiling_ns else "    —")
+        rows.append((name, ms, elems, nspe, light, note))
+        log(f"{name:34s}: {ms:7.3f} ms  {nspe:7.2f} ns/elt  light={light} {note}")
+
+    for S, tag in ((args.N_samples, "coarse"), (args.N_samples + args.N_importance, "fine")):
+        n = R * S
+        k = min(n, -(-int(n * occ_cfg.keep_fraction) // 128) * 128)
+        pts = jax.random.uniform(key, (n, 3), minval=-1.4, maxval=1.4)
+        ms = timeit_scanned(lambda p: occupancy_scores(grid, p, bbox, occ_cfg), pts)
+        entry(f"occ score gather {tag} ({n//1000}k)", ms, n, 17.0,
+              "ceiling: 17 ns/row fetch")
+        scores = occupancy_scores(grid, pts, bbox, occ_cfg)
+        for mode in ("sort2", "sort1", "cumsum"):
+            ms = timeit_scanned(lambda s, m=mode: cull_points(s, k, mode=m)[1], scores)
+            entry(f"cull {mode} {tag} ({n//1000}k)", ms, n, 4.5,
+                  "ceiling: 4.5 ns/elt sort rate")
+        kpts = pts[:k]
+        ms = timeit_scanned(
+            lambda p: packed_encode(tr.state.hash_table, p, bbox[0], bbox[1], pcfg)[0],
+            kpts)
+        entry(f"packed enc fwd {tag} ({k//1000}k)", ms, k * pcfg.n_levels, 17.0,
+              "elems = row fetches")
+        g = jax.grad(lambda t, p: jnp.sum(packed_encode(t, p, bbox[0], bbox[1], pcfg)[0]))
+        ms = timeit_scanned(lambda p: g(tr.state.hash_table, p), kpts)
+        entry(f"packed enc f+b {tag} ({k//1000}k)", ms, k * pcfg.n_levels, None)
+        raw_perm = jax.random.normal(key, (n, 4))
+        inv = jax.random.permutation(key, n)
+        gg = jax.grad(lambda r: take_rows(r, inv).sum())
+        ms = timeit_scanned(gg, raw_perm)
+        entry(f"unpermute f+b {tag} ({n//1000}k)", ms, 2 * n, 17.0,
+              "fwd+bwd row gathers")
+
+    # hierarchical sampling path
+    z = jnp.sort(jax.random.uniform(key, (R, 192), minval=2, maxval=6), -1)
+    ms = timeit_scanned(lambda z: jnp.sort(z, axis=-1), z)
+    entry("z full sort 192 (r3 path)", ms, R * 192, 4.5)
+    a = z[:, :64]
+    b = jnp.sort(jax.random.uniform(key, (R, 128), minval=2, maxval=6), -1)
+    ms = timeit_scanned(lambda ab: merge_sorted(ab[0], ab[1]), (a, b))
+    entry("rank-merge 64+128 (r4 path)", ms, R * 192, None)
+    bins = jnp.sort(jax.random.uniform(key, (R, 63), minval=2, maxval=6), -1)
+    w = jax.random.uniform(key, (R, 62))
+    ms = timeit_scanned(lambda bw: sample_pdf(key, bw[0], bw[1], 128), (bins, w))
+    entry("sample_pdf 1024x128", ms, R * 128 * 64, None, "elems = compares")
+    ms = timeit_scanned(lambda s: sorted_uniform(key, (R, 128)) + s[0, 0] * 1e-30, z)
+    entry("sorted_uniform 1024x128", ms, R * 128, None)
+
+    # compositor + occupancy update amortized
+    raw = jax.random.normal(key, (R, 192, 4))
+    rd = jax.random.normal(key, (R, 3))
+    gr = jax.grad(lambda r: raw2outputs(r, z, rd, 0.0, True).rgb_map.sum())
+    ms = timeit_scanned(gr, raw)
+    entry("raw2outputs f+b", ms, R * 192, None)
+    ms = timeit_scanned(lambda g2: sample_update_cells(g2, key, occ_cfg), grid)
+    entry("occ update cells (per-update)", ms, occ_cfg.n_update_samples, None,
+          f"every {occ_cfg.update_every} steps")
+
+    with open(os.path.join(REPO, "PROFILE_r04.md"), "w") as f:
+        f.write("# PROFILE_r04 — flagship step roofline ledger "
+                "(v5e, N_rand=1024, L4/F8 packed, keep=0.25)\n\n")
+        f.write(f"Measured step total: **{step_ms:.2f} ms** "
+                f"({args.N_rand / step_ms * 1e3:.0f} rays/s). Components "
+                "amortized over a 32-iteration lax.scan (no dispatch "
+                "overhead); 'light' = measured primitive ceiling / achieved "
+                "rate (gather fetch 17 ns/row, sort 4.5 ns/elt from "
+                "docs/TPU_DESIGN.md micro probes).\n\n")
+        f.write("| phase | ms | elems | ns/elt | % of light | note |\n")
+        f.write("|---|---|---|---|---|---|\n")
+        for name, ms, elems, nspe, light, note in rows:
+            f.write(f"| {name} | {ms:.3f} | {elems} | {nspe:.2f} | {light} "
+                    f"| {note} |\n")
+        tot = sum(r[1] for r in rows)
+        f.write(f"\nComponent sum (one coarse+fine step's phases): "
+                f"~{tot:.1f} ms vs step total {step_ms:.2f} ms (components "
+                "overlap/fuse inside the real program; sum is an upper "
+                "bound on slack attribution).\n")
+    log(f"wrote PROFILE_r04.md (component sum {sum(r[1] for r in rows):.1f} ms)")
 
 
 # --------------------------------------------------------------------------- #
@@ -448,12 +629,52 @@ QUALITY_CONFIGS = {
     "multi2k": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
                 "QB_PACKED": "1", "QB_ITERS": "2048", "QB_BLOCK": "128",
                 "QB_SCENE": "multi"},
+    # ---- round 4: the annealed-keep flagship + its controls ----
+    # full r4 stack: fast_merge + sort1 partition + adaptive updates +
+    # annealed keep (0.5 while the grid forms, 0.25, then 0.125 steady) —
+    # must hold within ~0.5 dB of abl_L4F8's 28.89 @1536 (VERDICT r3 #2a)
+    "r4_flagship": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                    "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                    "QB_FASTMERGE": "1", "QB_PARTITION": "sort1",
+                    "QB_ADAPTIVE": "1",
+                    "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # constant keep=0.125 + adaptive updates (isolates VERDICT r3 #9: does
+    # grid sharpening alone recover abl_keep125's -4.1 dB?)
+    "r4_keep125_adaptive": {"QB_KEEP": "0.125", "QB_AABB": "1",
+                            "QB_NRAND": "1024", "QB_PACKED": "1",
+                            "QB_ITERS": "1536", "QB_BLOCK": "128",
+                            "QB_FASTMERGE": "1", "QB_PARTITION": "sort1",
+                            "QB_ADAPTIVE": "1"},
+    # cumsum partition quality control (approximate top-k vs exact)
+    "r4_cumsum": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                  "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                  "QB_FASTMERGE": "1", "QB_PARTITION": "cumsum",
+                  "QB_ADAPTIVE": "1"},
+    # parity rerun recording train_s/steady_step_ms (honest iso-quality
+    # comparison, VERDICT r3 #1) — long enough to cross 30 dB
+    "r4_parity2k": {"QB_PARITY": "1", "QB_ITERS": "2560", "QB_BLOCK": "64"},
+    # r4 flagship long run: iters-to-30dB + measured train_s
+    "r4_psnr30": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                  "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "128",
+                  "QB_FASTMERGE": "1", "QB_PARTITION": "sort1",
+                  "QB_ADAPTIVE": "1",
+                  "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # packed-layout seam A/B on the hard multi-object scene (VERDICT r3 #8):
+    # identical flags except the table layout
+    "r4_multi_packed": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                        "QB_PACKED": "1", "QB_ITERS": "2048",
+                        "QB_BLOCK": "128", "QB_SCENE": "multi"},
+    "r4_multi_unpacked": {"QB_KEEP": "0.25", "QB_AABB": "1",
+                          "QB_NRAND": "1024", "QB_PACKED": "0",
+                          "QB_ITERS": "2048", "QB_BLOCK": "128",
+                          "QB_SCENE": "multi"},
 }
 
 _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
             "QB_L", "QB_F", "QB_TAG", "QB_PARITY", "QB_PACKED", "QB_SCENE",
             "QB_CHUNK", "QB_VIEWS", "QB_EVALCULL", "QB_DTYPE", "QB_SHARE",
-            "QB_OCC")
+            "QB_OCC", "QB_FASTMERGE", "QB_PARTITION", "QB_ADAPTIVE",
+            "QB_KEEP_SCHEDULE")
 
 
 def stage_quality(tag):
@@ -507,6 +728,10 @@ def main(stages):
                 stage_pprofile()
             elif st == "variants":
                 stage_variants()
+            elif st == "variants4":
+                stage_variants4()
+            elif st == "ledger":
+                stage_ledger()
             elif st == "bench":
                 stage_bench()
             elif st == "smoke":
