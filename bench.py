@@ -97,11 +97,15 @@ def build_trainer():
         args.occ_keep_fraction = float(os.environ.get("BENCH_KEEP", "0.25"))
         args.occ_warmup = 8
         args.aabb_clip = True
-        # round-4 execution knobs (defaults = the measured-best set):
-        # sort-free hierarchical merge, single-argsort cull partition,
-        # importance-sampled grid updates.
-        args.fast_merge = bool(int(os.environ.get("BENCH_FASTMERGE", "1")))
+        # round-4 execution knobs (defaults = the measured-best set; the
+        # PROFILE_r04.md ledger showed fast_merge is a net LOSS — the
+        # order-statistics draw + rank merge cost 1.7 ms vs 0.84 ms for the
+        # plain batched sort — so it defaults off):
+        # per-ray keep budget (drops the global cull sort AND the un-permute
+        # gather), importance-sampled grid updates.
+        args.fast_merge = bool(int(os.environ.get("BENCH_FASTMERGE", "0")))
         args.occ_partition = os.environ.get("BENCH_PARTITION", "sort1")
+        args.occ_per_ray = bool(int(os.environ.get("BENCH_PERRAY", "1")))
         args.occ_adaptive_update = bool(
             int(os.environ.get("BENCH_ADAPTIVE", "1"))
         )

@@ -68,6 +68,7 @@ def main():
         args.fast_merge = bool(int(os.environ.get("QB_FASTMERGE", "0")))
         args.occ_partition = os.environ.get("QB_PARTITION", "sort1")
         args.occ_adaptive_update = bool(int(os.environ.get("QB_ADAPTIVE", "0")))
+        args.occ_per_ray = bool(int(os.environ.get("QB_PERRAY", "0")))
         sched = os.environ.get("QB_KEEP_SCHEDULE", "")
         if sched:
             args.occ_keep_schedule = sched

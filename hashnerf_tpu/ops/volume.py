@@ -34,12 +34,20 @@ def raw2outputs(
     raw_noise_std: float = 0.0,
     white_bkgd: bool = False,
     noise_key: Optional[jax.Array] = None,
+    dists: Optional[jnp.ndarray] = None,
 ) -> VolumeOutputs:
-    """raw: (N_rays, N_samples, C>=4); channels [:3]=rgb logits, [3]=sigma."""
-    dists = z_vals[..., 1:] - z_vals[..., :-1]
-    dists = jnp.concatenate(
-        [dists, jnp.full_like(dists[..., :1], 1e10)], -1
-    )  # (N_rays, N_samples)
+    """raw: (N_rays, N_samples, C>=4); channels [:3]=rgb logits, [3]=sigma.
+
+    `dists` (z-units, same shape as z_vals) overrides the default
+    forward-diff + 1e10-tail computation — used by the per-ray culling path
+    (render/occupancy.py), where each kept sample must carry its ORIGINAL
+    local interval so the compacted composite equals the zero-fill one.
+    """
+    if dists is None:
+        dists = z_vals[..., 1:] - z_vals[..., :-1]
+        dists = jnp.concatenate(
+            [dists, jnp.full_like(dists[..., :1], 1e10)], -1
+        )  # (N_rays, N_samples)
     dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
 
     rgb = jax.nn.sigmoid(raw[..., :3])

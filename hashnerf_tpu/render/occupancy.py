@@ -48,6 +48,16 @@ class OccupancyConfig:
     # instead of uniform cells — sharpens the grid near the surface so
     # tighter keep budgets hold quality (VERDICT r3 #9).
     adaptive_update: bool = False
+    # Per-RAY culling (round 4): each ray keeps its top ceil(S*keep_fraction)
+    # samples by score, compacted in z order and composited with their
+    # ORIGINAL per-sample dists — transmittance over kept samples is then
+    # EXACTLY the zero-fill composite (culled alpha=0 terms drop out of the
+    # cumprod). Removes the global cull sort AND the un-permute gather from
+    # the hot path (PROFILE_r04.md: 2.0 + 2.1 ms of the 21 ms step) and
+    # shards cleanly over the ray axis (no cross-ray collective). The only
+    # semantic delta vs the global budget is allocation: every ray gets the
+    # same K instead of dense rays borrowing budget from empty ones.
+    per_ray: bool = False
 
     @property
     def n_cells(self) -> int:
@@ -167,6 +177,23 @@ def sample_update_cells(
     ijk = jnp.clip(bi * S + off, 0, R - 1)
     imp_cells = (ijk[:, 0] * R + ijk[:, 1]) * R + ijk[:, 2]
     return jnp.concatenate([uniform_cells, imp_cells])
+
+
+def cull_per_ray(scores: jnp.ndarray, K: int) -> jnp.ndarray:
+    """Exact per-ray top-K sample selection, returned in ascending z order.
+
+    scores: (R, S) float (higher = denser; out-of-bbox = -1).
+    Returns idx (R, K) int32 — for each ray, the indices of its K highest-
+    scoring samples, sorted ascending so downstream gathers of z/dists keep
+    the march order. Ties break toward the lower index (stable argsort).
+
+    One batched (R, S) sort + one (R, K) index sort — both vectorized small
+    per-row sorts (the 4.5 ns/elt class of docs/TPU_DESIGN.md), vs the
+    global path's full-batch sort PLUS an (R*S)-row un-permute gather.
+    """
+    order = jnp.argsort(-scores, axis=-1, stable=True)
+    kept = order[..., :K]
+    return jnp.sort(kept, axis=-1).astype(jnp.int32)
 
 
 def _invert_permutation(order: jnp.ndarray) -> jnp.ndarray:

@@ -78,7 +78,12 @@ def render_rays(
 
         near, far = ray_aabb_near_far(rays_o, rays_d, bbox, near, far)
 
-    if cfg.occupancy is not None and occ_grid is not None:
+    per_ray = (
+        cfg.occupancy is not None
+        and occ_grid is not None
+        and cfg.occupancy.per_ray
+    )
+    if cfg.occupancy is not None and occ_grid is not None and not per_ray:
         from hashnerf_tpu.render.occupancy import query_with_culling
 
         kf = cfg.occupancy.keep_fraction
@@ -93,6 +98,52 @@ def render_rays(
         def run_query(st, p, vd, bb, fine):
             return query_fn(st, p, vd, bb, fine=fine)
 
+    def march(z_vals, noise_key, fine):
+        """One ray-march pass: query + composite.
+
+        Returns (VolumeOutputs, weights_on_full_grid). The per-ray culling
+        path queries only each ray's top-K samples (compacted, z-ordered)
+        and composites them with their ORIGINAL per-sample intervals, which
+        is exactly the zero-fill composite restricted to a per-ray budget —
+        no global sort, no un-permute gather (PROFILE_r04.md slack items).
+        """
+        if not per_ray:
+            pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+            raw = run_query(state, pts, viewdirs, bbox, fine=fine)
+            out = raw2outputs(
+                raw, z_vals, rays_d, cfg.raw_noise_std, cfg.white_bkgd,
+                noise_key=noise_key,
+            )
+            return out, out.weights, raw
+
+        from hashnerf_tpu.render.occupancy import cull_per_ray, occupancy_scores
+
+        S = z_vals.shape[-1]
+        K = min(S, max(1, -(-int(S * cfg.occupancy.keep_fraction) // 8) * 8))
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        scores = occupancy_scores(
+            occ_grid, pts.reshape(-1, 3), bbox, cfg.occupancy
+        ).reshape(z_vals.shape)
+        idx = cull_per_ray(scores, K)  # (R, K) ascending z order
+        z_k = jnp.take_along_axis(z_vals, idx, axis=-1)
+        dists_full = jnp.concatenate(
+            [z_vals[..., 1:] - z_vals[..., :-1],
+             jnp.full_like(z_vals[..., :1], 1e10)], -1,
+        )
+        dists_k = jnp.take_along_axis(dists_full, idx, axis=-1)
+        pts_k = rays_o[:, None, :] + rays_d[:, None, :] * z_k[..., None]
+        raw = run_query(state, pts_k, viewdirs, bbox, fine=fine)
+        out = raw2outputs(
+            raw, z_k, rays_d, cfg.raw_noise_std, cfg.white_bkgd,
+            noise_key=noise_key, dists=dists_k,
+        )
+        # Scatter kept weights back onto the full z grid for the fine-pass
+        # PDF (culled samples have weight 0 there, same as zero-fill).
+        rows = jnp.arange(z_vals.shape[0])[:, None]
+        w_full = jnp.zeros(z_vals.shape, out.weights.dtype)
+        w_full = w_full.at[rows, idx].set(out.weights, unique_indices=True)
+        return out, w_full, raw
+
     if key is None:
         key = jax.random.PRNGKey(0)
     k_strat, k_noise0, k_pdf, k_noise1 = jax.random.split(key, 4)
@@ -101,11 +152,7 @@ def render_rays(
     if cfg.perturb:
         z_vals = perturb_z_vals(k_strat, z_vals)
 
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    raw = run_query(state, pts, viewdirs, bbox, fine=False)
-    out = raw2outputs(
-        raw, z_vals, rays_d, cfg.raw_noise_std, cfg.white_bkgd, noise_key=k_noise0
-    )
+    out, w_full, raw = march(z_vals, k_noise0, fine=False)
 
     ret = {}
     if cfg.N_importance > 0:
@@ -128,7 +175,7 @@ def render_rays(
             z_samples = sample_pdf(
                 k_pdf,
                 z_vals_mid,
-                out.weights[..., 1:-1],
+                w_full[..., 1:-1],
                 cfg.N_importance,
                 det=(not cfg.perturb),
                 u=u,
@@ -139,17 +186,13 @@ def render_rays(
             z_samples = sample_pdf(
                 k_pdf,
                 z_vals_mid,
-                out.weights[..., 1:-1],
+                w_full[..., 1:-1],
                 cfg.N_importance,
                 det=(not cfg.perturb),
             )
             z_samples = jax.lax.stop_gradient(z_samples)
             z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        raw = run_query(state, pts, viewdirs, bbox, fine=True)
-        out = raw2outputs(
-            raw, z_vals, rays_d, cfg.raw_noise_std, cfg.white_bkgd, noise_key=k_noise1
-        )
+        out, _, raw = march(z_vals, k_noise1, fine=True)
         ret["z_std"] = jnp.std(z_samples, axis=-1)
 
     ret.update(

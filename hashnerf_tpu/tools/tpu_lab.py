@@ -414,6 +414,26 @@ def stage_variants4():
             occ_adaptive_update=True, occ_keep_fraction=0.125)
 
 
+def stage_perray():
+    """Per-ray culling A/B (round-4 second wave, after the PROFILE_r04
+    ledger showed the global path's sort + un-permute are the shaveable
+    slack)."""
+    scene = _scene()
+    base = dict(aabb_clip=True, packed_layout=True, occ_adaptive_update=True)
+
+    def measure(tag, **over):
+        _measure_variant(scene, tag, **base, **over)
+
+    measure("global keep=.25 (r3 path)")
+    measure("per-ray keep=.25", occ_per_ray=True)
+    measure("per-ray keep=.125", occ_per_ray=True, occ_keep_fraction=0.125)
+    measure("per-ray keep=.125 2048", occ_per_ray=True,
+            occ_keep_fraction=0.125, N_rand=2048)
+    measure("per-ray keep=.25 2048", occ_per_ray=True, N_rand=2048)
+    measure("per-ray keep=.125 4096", occ_per_ray=True,
+            occ_keep_fraction=0.125, N_rand=4096)
+
+
 # --------------------------------------------------------------------------- #
 def stage_ledger():
     """Roofline ledger for the flagship step (VERDICT r3 #7): each phase at
@@ -668,13 +688,49 @@ QUALITY_CONFIGS = {
                           "QB_NRAND": "1024", "QB_PACKED": "0",
                           "QB_ITERS": "2048", "QB_BLOCK": "128",
                           "QB_SCENE": "multi"},
+    # ---- round 4, second wave: PER-RAY culling flagship (stage_perray
+    # measured 81k rays/s @1024, 113k @2048 with keep=.125 — the global
+    # path's cull sort + un-permute gone). Quality gates below. ----
+    # the shipping flagship: N_rand=2048, per-ray, adaptive updates,
+    # annealed keep 0.5 -> 0.25 -> 0.125
+    "r4p_flagship2048": {"QB_KEEP": "0.25", "QB_AABB": "1",
+                         "QB_NRAND": "2048", "QB_PACKED": "1",
+                         "QB_ITERS": "1536", "QB_BLOCK": "128",
+                         "QB_PERRAY": "1", "QB_ADAPTIVE": "1",
+                         "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # same at the reference's exact batch (honest 1024 line)
+    "r4p_flagship1024": {"QB_KEEP": "0.25", "QB_AABB": "1",
+                         "QB_NRAND": "1024", "QB_PACKED": "1",
+                         "QB_ITERS": "1536", "QB_BLOCK": "128",
+                         "QB_PERRAY": "1", "QB_ADAPTIVE": "1",
+                         "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # constant keep=.25 per-ray (isolates per-ray allocation vs global:
+    # compare against abl_L4F8's 28.89 dB @1536)
+    "r4p_keep25": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                   "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                   "QB_PERRAY": "1", "QB_ADAPTIVE": "1"},
+    # constant keep=.125 per-ray + adaptive (VERDICT r3 #9 gate: within
+    # 1 dB of keep=.25)
+    "r4p_keep125": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                    "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                    "QB_PERRAY": "1", "QB_ADAPTIVE": "1"},
+    # flagship long run: iters/seconds-to-30dB at the shipping config
+    "r4p_psnr30": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "2048",
+                   "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "128",
+                   "QB_PERRAY": "1", "QB_ADAPTIVE": "1",
+                   "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # hard multi-object scene at the shipping flagship flags
+    "r4p_multi": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "2048",
+                  "QB_PACKED": "1", "QB_ITERS": "2048", "QB_BLOCK": "128",
+                  "QB_PERRAY": "1", "QB_ADAPTIVE": "1", "QB_SCENE": "multi",
+                  "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
 }
 
 _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
             "QB_L", "QB_F", "QB_TAG", "QB_PARITY", "QB_PACKED", "QB_SCENE",
             "QB_CHUNK", "QB_VIEWS", "QB_EVALCULL", "QB_DTYPE", "QB_SHARE",
             "QB_OCC", "QB_FASTMERGE", "QB_PARTITION", "QB_ADAPTIVE",
-            "QB_KEEP_SCHEDULE")
+            "QB_KEEP_SCHEDULE", "QB_PERRAY")
 
 
 def stage_quality(tag):
@@ -730,6 +786,8 @@ def main(stages):
                 stage_variants()
             elif st == "variants4":
                 stage_variants4()
+            elif st == "perray":
+                stage_perray()
             elif st == "ledger":
                 stage_ledger()
             elif st == "bench":

@@ -131,6 +131,12 @@ def config_parser() -> argparse.ArgumentParser:
                         help="importance-sample half the grid-update cells "
                         "near the current surface (top macro-blocks + "
                         "neighbor dilation) instead of all-uniform")
+    parser.add_argument("--occ_per_ray", action="store_true",
+                        help="per-RAY keep budget: each ray keeps its top "
+                        "ceil(S*keep_fraction) samples by occupancy score, "
+                        "compacted and composited with original per-sample "
+                        "dists (exact zero-fill semantics; no global sort / "
+                        "un-permute; shards over rays with no collective)")
     parser.add_argument("--occ_keep_schedule", type=str, default=None,
                         help="annealed keep budget: 'STEP:FRAC,STEP:FRAC,...'"
                         " — from each STEP on, use FRAC (e.g. "

@@ -71,6 +71,7 @@ def render_config_from_args(args, ndc: bool = False, lindisp: bool = False) -> R
             warmup_steps=getattr(args, "occ_warmup", 256),
             partition=getattr(args, "occ_partition", "sort1"),
             adaptive_update=getattr(args, "occ_adaptive_update", False),
+            per_ray=getattr(args, "occ_per_ray", False),
         )
     return RenderConfig(
         fast_merge=getattr(args, "fast_merge", False),

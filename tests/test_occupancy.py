@@ -223,3 +223,130 @@ def test_adaptive_update_uniform_fallback():
     g2 = jnp.ones((cfg2.n_cells,), jnp.float32)
     assert sample_update_cells(g, jax.random.PRNGKey(0), cfg).shape == (1024,)
     assert sample_update_cells(g2, jax.random.PRNGKey(0), cfg2).shape == (1024,)
+
+
+# --------------------------------------------------------------------------- #
+# Per-ray culling (round 4)
+
+def _blob_query_fn(state, pts, vd, bbox, fine=False):
+    d = jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    sigma = 20.0 * jnp.exp(-10.0 * (d - 0.5) ** 2)
+    rgb = jnp.sin(3.0 * pts)  # view-independent but spatially varying
+    return jnp.concatenate([rgb, sigma], -1)
+
+
+def _blob_rays(R=48):
+    rays_o = jnp.zeros((R, 3)).at[:, 2].set(-2.0)
+    th = jnp.linspace(-0.3, 0.3, R)
+    rays_d = jnp.stack([jnp.sin(th), jnp.zeros(R), jnp.cos(th)], -1)
+    bbox = jnp.asarray([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    return rays_o, rays_d, bbox
+
+
+def _blob_grid(cfg, bbox):
+    """Occupancy grid populated from the analytic blob density."""
+    from hashnerf_tpu.render.occupancy import init_occupancy_grid
+
+    R3 = cfg.resolution
+    ii = (jnp.arange(R3) + 0.5) / R3
+    x = bbox[0] + (bbox[1] - bbox[0]) * jnp.stack(
+        jnp.meshgrid(ii, ii, ii, indexing="ij"), -1
+    ).reshape(-1, 3)
+    sig = _blob_query_fn(None, x[:, None, :], None, bbox)[..., 0, 3]
+    return init_occupancy_grid(cfg).at[:].set(sig)
+
+
+def test_cull_per_ray_topk_z_order():
+    from hashnerf_tpu.render.occupancy import cull_per_ray
+
+    scores = jnp.asarray([[0.1, 5.0, 3.0, 0.2, 4.0],
+                          [1.0, 1.0, 1.0, 0.0, 2.0]])
+    idx = np.asarray(cull_per_ray(scores, 3))
+    # ray 0: top-3 = {1, 4, 2} -> z order [1, 2, 4]
+    np.testing.assert_array_equal(idx[0], [1, 2, 4])
+    # ray 1: top-3 = {4, 0, 1} (ties -> lower index) -> [0, 1, 4]
+    np.testing.assert_array_equal(idx[1], [0, 1, 4])
+    assert idx.dtype == np.int32
+
+
+def test_per_ray_equals_zero_fill_composite():
+    """The per-ray compacted composite must EXACTLY equal compositing the
+    full sample set with non-kept sigmas zeroed (the exactness property the
+    design relies on: original dists + dropped alpha=0 factors)."""
+    import dataclasses
+
+    from hashnerf_tpu.ops.sampling import stratified_z_vals
+    from hashnerf_tpu.ops.volume import raw2outputs
+    from hashnerf_tpu.render.occupancy import cull_per_ray, occupancy_scores
+    from hashnerf_tpu.render.renderer import RenderConfig, render_rays
+
+    rays_o, rays_d, bbox = _blob_rays()
+    R = rays_o.shape[0]
+    occ = OccupancyConfig(resolution=32, keep_fraction=0.25, per_ray=True)
+    grid = _blob_grid(occ, bbox)
+    near, far = jnp.full((R,), 1.0), jnp.full((R,), 3.0)
+    cfg = RenderConfig(N_samples=32, N_importance=0, perturb=False,
+                       use_viewdirs=False, occupancy=occ)
+
+    ret = render_rays(None, _blob_query_fn, rays_o, rays_d, None,
+                      near, far, bbox, None, cfg, occ_grid=grid)
+
+    # manual zero-fill reference on the full grid
+    z = stratified_z_vals(near, far, 32)
+    pts = rays_o[:, None] + rays_d[:, None] * z[..., None]
+    S = 32
+    K = min(S, max(1, -(-int(S * occ.keep_fraction) // 8) * 8))
+    scores = occupancy_scores(grid, pts.reshape(-1, 3), bbox, occ).reshape(R, S)
+    idx = cull_per_ray(scores, K)
+    keep = jnp.zeros((R, S), bool).at[jnp.arange(R)[:, None], idx].set(True)
+    raw = _blob_query_fn(None, pts, None, bbox)
+    raw = raw.at[..., 3].set(jnp.where(keep, raw[..., 3], 0.0))
+    out = raw2outputs(raw, z, rays_d, 0.0, False)
+
+    np.testing.assert_allclose(
+        np.asarray(ret["rgb_map"]), np.asarray(out.rgb_map), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ret["acc_map"]), np.asarray(out.acc_map), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ret["depth_map"]), np.asarray(out.depth_map), atol=1e-4)
+
+
+def test_per_ray_keep_all_matches_uncullled():
+    """keep_fraction=1 keeps every sample -> identical to occupancy=None,
+    including the hierarchical fine pass (weights scatter round-trip)."""
+    from hashnerf_tpu.render.renderer import RenderConfig, render_rays
+
+    rays_o, rays_d, bbox = _blob_rays()
+    R = rays_o.shape[0]
+    occ = OccupancyConfig(resolution=32, keep_fraction=1.0, per_ray=True)
+    grid = _blob_grid(occ, bbox)
+    near, far = jnp.full((R,), 1.0), jnp.full((R,), 3.0)
+    key = jax.random.PRNGKey(3)
+
+    cfg_on = RenderConfig(N_samples=16, N_importance=32, perturb=True,
+                          use_viewdirs=False, occupancy=occ)
+    cfg_off = RenderConfig(N_samples=16, N_importance=32, perturb=True,
+                           use_viewdirs=False, occupancy=None)
+    ret_on = render_rays(None, _blob_query_fn, rays_o, rays_d, None,
+                         near, far, bbox, key, cfg_on, occ_grid=grid)
+    ret_off = render_rays(None, _blob_query_fn, rays_o, rays_d, None,
+                          near, far, bbox, key, cfg_off)
+    for k in ("rgb_map", "depth_map", "acc_map"):
+        np.testing.assert_allclose(np.asarray(ret_on[k]),
+                                   np.asarray(ret_off[k]), atol=1e-5)
+
+
+def test_per_ray_training_improves_psnr():
+    """End-to-end: the per-ray flagship trains (PSNR rises) on a tiny scene."""
+    args = tiny_args()
+    args.use_occupancy = True
+    args.occ_per_ray = True
+    args.occ_keep_fraction = 0.5
+    args.occ_warmup = 8
+    args.occ_update_every = 4
+    args.aabb_clip = True
+    scene = make_synthetic_scene(H=32, W=32, n_train=4, n_test=1)
+    tr = Trainer(args, scene)
+    m0 = tr.run_steps(8, block_size=8)
+    m1 = tr.run_steps(72, block_size=8)
+    assert float(m1["psnr"]) > float(m0["psnr"])
