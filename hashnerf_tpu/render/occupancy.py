@@ -58,6 +58,11 @@ class OccupancyConfig:
     # semantic delta vs the global budget is allocation: every ray gets the
     # same K instead of dense rays borrowing budget from empty ones.
     per_ray: bool = False
+    # How each ray's top-K is selected: "sort" (exact, batched argsort),
+    # "topk" (exact, lax.top_k), "approx" (lax.approx_max_k — TPU's
+    # hardware-assisted approximate top-k; recall ~0.95, misses only swap
+    # which samples spend the budget, never break compositing semantics).
+    per_ray_select: str = "sort"
 
     @property
     def n_cells(self) -> int:
@@ -179,20 +184,26 @@ def sample_update_cells(
     return jnp.concatenate([uniform_cells, imp_cells])
 
 
-def cull_per_ray(scores: jnp.ndarray, K: int) -> jnp.ndarray:
-    """Exact per-ray top-K sample selection, returned in ascending z order.
+def cull_per_ray(scores: jnp.ndarray, K: int, select: str = "sort") -> jnp.ndarray:
+    """Per-ray top-K sample selection, returned in ascending z order.
 
     scores: (R, S) float (higher = denser; out-of-bbox = -1).
     Returns idx (R, K) int32 — for each ray, the indices of its K highest-
     scoring samples, sorted ascending so downstream gathers of z/dists keep
-    the march order. Ties break toward the lower index (stable argsort).
+    the march order. Ties break toward the lower index.
 
-    One batched (R, S) sort + one (R, K) index sort — both vectorized small
-    per-row sorts (the 4.5 ns/elt class of docs/TPU_DESIGN.md), vs the
-    global path's full-batch sort PLUS an (R*S)-row un-permute gather.
+    select: "sort" = one batched (R, S) argsort (exact, stable); "topk" =
+    lax.top_k (exact); "approx" = lax.approx_max_k (TPU approximate top-k,
+    recall ~0.95 — a missed high-score sample only reallocates budget, the
+    composite stays a valid zero-fill restriction). All finish with one
+    (R, K) ascending index sort to restore march order.
     """
-    order = jnp.argsort(-scores, axis=-1, stable=True)
-    kept = order[..., :K]
+    if select == "topk":
+        _, kept = jax.lax.top_k(scores, K)
+    elif select == "approx":
+        _, kept = jax.lax.approx_max_k(scores, K)
+    else:
+        kept = jnp.argsort(-scores, axis=-1, stable=True)[..., :K]
     return jnp.sort(kept, axis=-1).astype(jnp.int32)
 
 

@@ -98,7 +98,16 @@ def render_rays(
         def run_query(st, p, vd, bb, fine):
             return query_fn(st, p, vd, bb, fine=fine)
 
-    def march(z_vals, noise_key, fine):
+    def score_z(z):
+        """Occupancy score of every sample point at depths z (R, S)."""
+        from hashnerf_tpu.render.occupancy import occupancy_scores
+
+        p = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        return occupancy_scores(
+            occ_grid, p.reshape(-1, 3), bbox, cfg.occupancy
+        ).reshape(z.shape)
+
+    def march(z_vals, noise_key, fine, scores=None):
         """One ray-march pass: query + composite.
 
         Returns (VolumeOutputs, weights_on_full_grid). The per-ray culling
@@ -106,6 +115,9 @@ def render_rays(
         and composites them with their ORIGINAL per-sample intervals, which
         is exactly the zero-fill composite restricted to a per-ray budget —
         no global sort, no un-permute gather (PROFILE_r04.md slack items).
+        `scores` lets the fine pass reuse scores already gathered for the
+        coarse z's (carried through the z merge) instead of re-fetching all
+        S samples' grid cells.
         """
         if not per_ray:
             pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
@@ -116,15 +128,14 @@ def render_rays(
             )
             return out, out.weights, raw
 
-        from hashnerf_tpu.render.occupancy import cull_per_ray, occupancy_scores
+        from hashnerf_tpu.render.occupancy import cull_per_ray
 
         S = z_vals.shape[-1]
         K = min(S, max(1, -(-int(S * cfg.occupancy.keep_fraction) // 8) * 8))
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        scores = occupancy_scores(
-            occ_grid, pts.reshape(-1, 3), bbox, cfg.occupancy
-        ).reshape(z_vals.shape)
-        idx = cull_per_ray(scores, K)  # (R, K) ascending z order
+        if scores is None:
+            scores = score_z(z_vals)
+        # (R, K) ascending z order
+        idx = cull_per_ray(scores, K, select=cfg.occupancy.per_ray_select)
         z_k = jnp.take_along_axis(z_vals, idx, axis=-1)
         dists_full = jnp.concatenate(
             [z_vals[..., 1:] - z_vals[..., :-1],
@@ -152,7 +163,8 @@ def render_rays(
     if cfg.perturb:
         z_vals = perturb_z_vals(k_strat, z_vals)
 
-    out, w_full, raw = march(z_vals, k_noise0, fine=False)
+    scores_c = score_z(z_vals) if per_ray else None
+    out, w_full, raw = march(z_vals, k_noise0, fine=False, scores=scores_c)
 
     ret = {}
     if cfg.N_importance > 0:
@@ -161,7 +173,25 @@ def render_rays(
             sparsity_loss0=out.sparsity_loss,
         )
         z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        if cfg.fast_merge:
+        if per_ray:
+            # Score only the NEW importance samples and carry both score
+            # sets through a multi-operand sort keyed on z — reuses the
+            # N_samples grid fetches the coarse pass already paid (25% of
+            # the fine pass's score-gather volume at 64+128).
+            z_samples = sample_pdf(
+                k_pdf, z_vals_mid, w_full[..., 1:-1], cfg.N_importance,
+                det=(not cfg.perturb),
+            )
+            z_samples = jax.lax.stop_gradient(z_samples)
+            s_new = score_z(z_samples)
+            z_vals, scores_f = jax.lax.sort(
+                (jnp.concatenate([z_vals, z_samples], -1),
+                 jnp.concatenate([scores_c, s_new], -1)),
+                dimension=-1, num_keys=1,
+            )
+            out, _, raw = march(z_vals, k_noise1, fine=True, scores=scores_f)
+            ret["z_std"] = jnp.std(z_samples, axis=-1)
+        elif cfg.fast_merge:
             # Pre-sorted uniforms -> monotone inverse-CDF -> sorted
             # z_samples; z_vals is sorted by construction (stratified jitter
             # stays within disjoint intervals), so the union needs only a
@@ -192,8 +222,9 @@ def render_rays(
             )
             z_samples = jax.lax.stop_gradient(z_samples)
             z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
-        out, _, raw = march(z_vals, k_noise1, fine=True)
-        ret["z_std"] = jnp.std(z_samples, axis=-1)
+        if not per_ray:
+            out, _, raw = march(z_vals, k_noise1, fine=True)
+            ret["z_std"] = jnp.std(z_samples, axis=-1)
 
     ret.update(
         rgb_map=out.rgb_map, depth_map=out.depth_map, acc_map=out.acc_map,

@@ -434,6 +434,25 @@ def stage_perray():
             occ_keep_fraction=0.125, N_rand=4096)
 
 
+def stage_perray2():
+    """Third-wave shaves at the shipping 2048/keep=.125 flagship: score
+    reuse is already in (fine pass scores only the 128 new z's); A/B the
+    top-K selection algorithm."""
+    scene = _scene()
+    base = dict(aabb_clip=True, packed_layout=True, occ_adaptive_update=True,
+                occ_per_ray=True, occ_keep_fraction=0.125, N_rand=2048)
+
+    def measure(tag, **over):
+        _measure_variant(scene, tag, **base, **over)
+
+    measure("2048 .125 sort (+score reuse)")
+    measure("2048 .125 topk", occ_per_ray_select="topk")
+    measure("2048 .125 approx", occ_per_ray_select="approx")
+    measure("1024 .125 sort", N_rand=1024)
+    measure("1024 .125 approx", N_rand=1024, occ_per_ray_select="approx")
+    measure("4096 .125 approx", N_rand=4096, occ_per_ray_select="approx")
+
+
 # --------------------------------------------------------------------------- #
 def stage_ledger():
     """Roofline ledger for the flagship step (VERDICT r3 #7): each phase at
@@ -788,6 +807,8 @@ def main(stages):
                 stage_variants4()
             elif st == "perray":
                 stage_perray()
+            elif st == "perray2":
+                stage_perray2()
             elif st == "ledger":
                 stage_ledger()
             elif st == "bench":

@@ -137,6 +137,12 @@ def config_parser() -> argparse.ArgumentParser:
                         "compacted and composited with original per-sample "
                         "dists (exact zero-fill semantics; no global sort / "
                         "un-permute; shards over rays with no collective)")
+    parser.add_argument("--occ_per_ray_select", type=str, default="sort",
+                        choices=["sort", "topk", "approx"],
+                        help="per-ray top-K algorithm: sort (exact argsort), "
+                        "topk (exact lax.top_k), approx (TPU approx_max_k, "
+                        "recall ~0.95 — only reallocates budget, never "
+                        "breaks compositing)")
     parser.add_argument("--occ_keep_schedule", type=str, default=None,
                         help="annealed keep budget: 'STEP:FRAC,STEP:FRAC,...'"
                         " — from each STEP on, use FRAC (e.g. "

@@ -72,6 +72,7 @@ def render_config_from_args(args, ndc: bool = False, lindisp: bool = False) -> R
             partition=getattr(args, "occ_partition", "sort1"),
             adaptive_update=getattr(args, "occ_adaptive_update", False),
             per_ray=getattr(args, "occ_per_ray", False),
+            per_ray_select=getattr(args, "occ_per_ray_select", "sort"),
         )
     return RenderConfig(
         fast_merge=getattr(args, "fast_merge", False),
