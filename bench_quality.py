@@ -69,6 +69,8 @@ def main():
         args.occ_partition = os.environ.get("QB_PARTITION", "sort1")
         args.occ_adaptive_update = bool(int(os.environ.get("QB_ADAPTIVE", "0")))
         args.occ_per_ray = bool(int(os.environ.get("QB_PERRAY", "0")))
+        args.occ_keep_coarse = float(os.environ.get("QB_KEEP_COARSE", "-1"))
+        args.occ_per_ray_select = os.environ.get("QB_SELECT", "sort")
         sched = os.environ.get("QB_KEEP_SCHEDULE", "")
         if sched:
             args.occ_keep_schedule = sched
@@ -113,6 +115,11 @@ def main():
                   file=sys.stderr)
             if b_left > 0:
                 m = trainer.run_steps(b_left, block_size=b_left)
+        # force a host fetch to close the timing region: block_until_ready
+        # does NOT synchronize on the axon backend, so without this the
+        # block's wall time leaks into the following eval render and
+        # steady_step_ms reads as pure dispatch (~0.02 ms)
+        float(m["loss"])
         dt = time.time() - tb
         fresh = len(getattr(trainer, "_block_cache", {}) or {}) > n_cached
         block_times.append((b, dt, fresh))
@@ -173,6 +180,9 @@ def main():
             "adaptive_update": getattr(args, "occ_adaptive_update", False),
             "fast_merge": getattr(args, "fast_merge", False),
             "aabb": getattr(args, "aabb_clip", False),
+            "per_ray": getattr(args, "occ_per_ray", False),
+            "keep_coarse": getattr(args, "occ_keep_coarse", -1.0),
+            "select": getattr(args, "occ_per_ray_select", "sort"),
         },
         "curve": curve,
     }

@@ -27,15 +27,22 @@ def make_sharded_train_step(
     mesh: Mesh,
     loss_fn: Callable,
     optimizer: optax.GradientTransformation,
+    with_occ: bool = False,
 ):
     """Returns a jitted train_step(state, opt_state, batch, key, tv_weight)
-    with rays sharded on the 'data' axis and everything else replicated."""
+    with rays sharded on the 'data' axis and everything else replicated.
+
+    with_occ=True adds a trailing occ_grid argument (replicated): the
+    per-ray culling flagship's score gather / top-K / compacted composite
+    are all ray-axis local, so the occupancy path shards with no extra
+    collective beyond the gradient reduction."""
     ray_sharding = shard_rays(mesh)
     rep = replicate(mesh)
 
-    def step(state, opt_state, batch, key, tv_weight):
+    def step(state, opt_state, batch, key, tv_weight, occ_grid=None):
         (loss, (psnr, img_loss)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state, batch, key, tv_weight
+            state, batch, key, tv_weight,
+            **({"occ_grid": occ_grid} if with_occ else {}),
         )
         updates, opt_state = optimizer.update(grads, opt_state, state)
         state = optax.apply_updates(state, updates)
@@ -52,7 +59,7 @@ def make_sharded_train_step(
             batch_shardings(batch),
             rep,
             rep,
-        )
+        ) + ((rep,) if with_occ else ())
         return jax.jit(step, in_shardings=in_shardings)
 
     return compile_for

@@ -63,6 +63,12 @@ class OccupancyConfig:
     # hardware-assisted approximate top-k; recall ~0.95, misses only swap
     # which samples spend the budget, never break compositing semantics).
     per_ray_select: str = "sort"
+    # Coarse-pass keep budget override (None = keep_fraction). The coarse
+    # pass drives the fine PDF, and its encode cost is ~1/3 of the fine
+    # pass's (64 vs 192 samples), so a LOOSER coarse budget buys PDF quality
+    # cheaply while the tight fine budget keeps the speed (observed: a flat
+    # 0.125 anneal dropped the flagship curve ~4 dB at the switch).
+    keep_fraction_coarse: Optional[float] = None
 
     @property
     def n_cells(self) -> int:

@@ -131,7 +131,10 @@ def render_rays(
         from hashnerf_tpu.render.occupancy import cull_per_ray
 
         S = z_vals.shape[-1]
-        K = min(S, max(1, -(-int(S * cfg.occupancy.keep_fraction) // 8) * 8))
+        kf = cfg.occupancy.keep_fraction
+        if not fine and cfg.occupancy.keep_fraction_coarse is not None:
+            kf = cfg.occupancy.keep_fraction_coarse
+        K = min(S, max(1, -(-int(S * kf) // 8) * 8))
         if scores is None:
             scores = score_z(z_vals)
         # (R, K) ascending z order

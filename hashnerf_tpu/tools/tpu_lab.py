@@ -737,19 +737,42 @@ QUALITY_CONFIGS = {
     "r4p_psnr30": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "2048",
                    "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "128",
                    "QB_PERRAY": "1", "QB_ADAPTIVE": "1",
+                   "QB_KEEP_COARSE": "0.25",
                    "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
     # hard multi-object scene at the shipping flagship flags
     "r4p_multi": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "2048",
                   "QB_PACKED": "1", "QB_ITERS": "2048", "QB_BLOCK": "128",
                   "QB_PERRAY": "1", "QB_ADAPTIVE": "1", "QB_SCENE": "multi",
+                  "QB_KEEP_COARSE": "0.25",
                   "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # ---- asymmetric-budget flagship (flat 0.125 anneal measured -4 dB at
+    # the switch): coarse stays 0.25 (PDF quality), fine anneals to 0.125 —
+    # fine encode is the cost center, so throughput stays ~flagship2048 ----
+    "r4a_flagship2048": {"QB_KEEP": "0.25", "QB_AABB": "1",
+                         "QB_NRAND": "2048", "QB_PACKED": "1",
+                         "QB_ITERS": "1536", "QB_BLOCK": "128",
+                         "QB_PERRAY": "1", "QB_ADAPTIVE": "1",
+                         "QB_KEEP_COARSE": "0.25",
+                         "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # same + approximate top-k selection (quality control for approx mode)
+    "r4a_approx2048": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "2048",
+                       "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                       "QB_PERRAY": "1", "QB_ADAPTIVE": "1",
+                       "QB_KEEP_COARSE": "0.25", "QB_SELECT": "approx",
+                       "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # asymmetric long run for iters/seconds-to-30dB
+    "r4a_psnr30": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "2048",
+                   "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "128",
+                   "QB_PERRAY": "1", "QB_ADAPTIVE": "1",
+                   "QB_KEEP_COARSE": "0.25",
+                   "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
 }
 
 _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
             "QB_L", "QB_F", "QB_TAG", "QB_PARITY", "QB_PACKED", "QB_SCENE",
             "QB_CHUNK", "QB_VIEWS", "QB_EVALCULL", "QB_DTYPE", "QB_SHARE",
             "QB_OCC", "QB_FASTMERGE", "QB_PARTITION", "QB_ADAPTIVE",
-            "QB_KEEP_SCHEDULE", "QB_PERRAY")
+            "QB_KEEP_SCHEDULE", "QB_PERRAY", "QB_KEEP_COARSE", "QB_SELECT")
 
 
 def stage_quality(tag):

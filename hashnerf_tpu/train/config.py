@@ -137,6 +137,12 @@ def config_parser() -> argparse.ArgumentParser:
                         "compacted and composited with original per-sample "
                         "dists (exact zero-fill semantics; no global sort / "
                         "un-permute; shards over rays with no collective)")
+    parser.add_argument("--occ_keep_coarse", type=float, default=-1.0,
+                        help="coarse-pass keep budget override (<=0: use "
+                        "--occ_keep_fraction). The coarse pass drives the "
+                        "fine PDF and costs ~1/3 of the fine encode, so a "
+                        "looser coarse budget buys PDF quality cheaply; the "
+                        "--occ_keep_schedule anneals only the fine budget")
     parser.add_argument("--occ_per_ray_select", type=str, default="sort",
                         choices=["sort", "topk", "approx"],
                         help="per-ray top-K algorithm: sort (exact argsort), "

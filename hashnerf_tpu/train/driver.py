@@ -73,6 +73,10 @@ def render_config_from_args(args, ndc: bool = False, lindisp: bool = False) -> R
             adaptive_update=getattr(args, "occ_adaptive_update", False),
             per_ray=getattr(args, "occ_per_ray", False),
             per_ray_select=getattr(args, "occ_per_ray_select", "sort"),
+            keep_fraction_coarse=(
+                kc if (kc := getattr(args, "occ_keep_coarse", -1.0)) > 0
+                else None
+            ),
         )
     return RenderConfig(
         fast_merge=getattr(args, "fast_merge", False),

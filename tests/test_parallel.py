@@ -221,3 +221,39 @@ def test_dp_zero_bf16_wire_trains():
         losses.append(float(m["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]  # optimizing on a fixed batch
+
+
+def test_sharded_step_per_ray_flagship():
+    """The per-ray flagship execution set (occupancy + per-ray cull + packed
+    layout + aabb clip) compiles and runs data-parallel on the virtual mesh:
+    every per-ray op (score gather, per-ray top-K, compacted composite) is
+    ray-axis local, so no cross-ray collective appears."""
+    scene = make_synthetic_scene(H=32, W=32, n_train=4, n_test=1)
+    args = tiny_args(N_rand=128, N_samples=16, N_importance=16, chunk=1024)
+    args.use_occupancy = True
+    args.occ_per_ray = True
+    args.occ_keep_fraction = 0.25
+    args.occ_keep_coarse = 0.5
+    args.occ_warmup = 0
+    args.aabb_clip = True
+    trainer = Trainer(args, scene)
+    loss_fn = make_loss_fn(
+        args, trainer.render_cfg, trainer.query_fn, trainer.bbox,
+        trainer.model_cfg.hash_grid,
+    )
+    mesh = make_mesh(8)
+    compile_for = make_sharded_train_step(
+        mesh, loss_fn, trainer.optimizer, with_occ=True
+    )
+
+    batch = trainer.sample_image(int(scene.i_train[0]), 128, precrop=False)
+    d = batch["rays_d"]
+    batch["viewdirs"] = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    batch = shard_train_batch(mesh, batch)
+
+    step = compile_for(trainer.state, trainer.opt_state, batch)
+    state, opt_state, metrics = step(
+        trainer.state, trainer.opt_state, batch, jax.random.PRNGKey(0),
+        jnp.float32(1e-6), trainer.occ_grid,
+    )
+    assert np.isfinite(float(metrics["loss"]))
