@@ -106,6 +106,7 @@ def build_trainer():
         args.fast_merge = bool(int(os.environ.get("BENCH_FASTMERGE", "0")))
         args.occ_partition = os.environ.get("BENCH_PARTITION", "sort1")
         args.occ_per_ray = bool(int(os.environ.get("BENCH_PERRAY", "1")))
+        args.occ_block = int(os.environ.get("BENCH_OCC_BLOCK", "1"))
         kc = float(os.environ.get("BENCH_KEEP_COARSE", "-1"))
         if kc > 0:
             args.occ_keep_coarse = kc

@@ -71,6 +71,7 @@ def main():
         args.occ_per_ray = bool(int(os.environ.get("QB_PERRAY", "0")))
         args.occ_keep_coarse = float(os.environ.get("QB_KEEP_COARSE", "-1"))
         args.occ_per_ray_select = os.environ.get("QB_SELECT", "sort")
+        args.occ_block = int(os.environ.get("QB_OCCBLOCK", "1"))
         sched = os.environ.get("QB_KEEP_SCHEDULE", "")
         if sched:
             args.occ_keep_schedule = sched
@@ -183,6 +184,7 @@ def main():
             "per_ray": getattr(args, "occ_per_ray", False),
             "keep_coarse": getattr(args, "occ_keep_coarse", -1.0),
             "select": getattr(args, "occ_per_ray_select", "sort"),
+            "occ_block": getattr(args, "occ_block", 1),
         },
         "curve": curve,
     }

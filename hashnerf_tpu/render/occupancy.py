@@ -69,6 +69,14 @@ class OccupancyConfig:
     # cheaply while the tight fine budget keeps the speed (observed: a flat
     # 0.125 anneal dropped the flagship curve ~4 dB at the switch).
     keep_fraction_coarse: Optional[float] = None
+    # GLOBAL culling granularity in consecutive samples (must divide both
+    # N_samples and N_samples+N_importance). block=8 keeps the global
+    # budget's cross-ray reallocation (measured worth ~2.3 dB over per-ray
+    # at equal budget: r4p_keep25 26.6 vs abl_L4F8 28.89 @1536) while
+    # cutting the cull sort 8x and widening the un-permute rows 8x (row
+    # fetches are count-bound, docs/TPU_DESIGN.md). Block score = max of
+    # member scores; kept blocks composite EXACTLY as zero-fill.
+    block: int = 1
 
     @property
     def n_cells(self) -> int:
@@ -302,16 +310,52 @@ def query_with_culling(
     cfg: OccupancyConfig,
     keep_k: int,
     fine: bool = False,
+    scores: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Like query_fn but only encodes/MLPs the first keep_k occupied points;
-    culled points get raw = 0 (sigma 0 == empty space)."""
+    culled points get raw = 0 (sigma 0 == empty space).
+
+    cfg.block > 1 selects at BLOCK granularity: consecutive runs of `block`
+    samples (always within one ray — S % block == 0) are scored by their max
+    and kept/culled together. Same zero-fill semantics; the cull sort runs
+    over n/block elements and the un-permute moves (block*C)-wide rows.
+    `scores` (flat (Rr*S,)) skips the per-point grid gather when the caller
+    already has them (score reuse through the z merge)."""
     Rr, S = pts.shape[0], pts.shape[1]
     flat = pts.reshape(-1, 3)
+    n = flat.shape[0]
     # Budgeted top-k by density score. Out-of-bbox points score -1 (their
     # sigma is zeroed by the query anyway, so culling them is EXACTLY
     # semantics-preserving — and for unbounded near/far ranges a large share
     # of stratified samples lies outside the bbox).
-    scores = occupancy_scores(grid, flat, bbox, cfg)
+    if scores is None:
+        scores = occupancy_scores(grid, flat, bbox, cfg)
+    else:
+        scores = scores.reshape(-1)
+
+    B = cfg.block
+    if B > 1 and S % B == 0 and keep_k % B == 0:
+        nb = n // B
+        kb = keep_k // B
+        bscores = jnp.max(scores.reshape(nb, B), axis=-1)
+        kept_idx, order, inv_perm = cull_points(bscores, kb, mode=cfg.partition)
+
+        pts_kept = jnp.take(flat.reshape(nb, B, 3), kept_idx, axis=0)  # (K,B,3)
+        dirs_kept = None
+        if viewdirs is not None:
+            # blocks never straddle rays: dirs constant within a block
+            ray_of_block = kept_idx // (S // B)
+            dirs_kept = jnp.take(viewdirs, ray_of_block, axis=0)  # (K, 3)
+        raw_kept = query_fn(state, pts_kept, dirs_kept, bbox, fine=fine)
+        C = raw_kept.shape[-1]
+        raw_perm = jnp.concatenate(
+            [raw_kept.reshape(kb, B * C),
+             jnp.zeros((nb - kb, B * C), raw_kept.dtype)], axis=0,
+        )
+        from hashnerf_tpu.kernels.gather_vjp import permute_rows
+
+        return permute_rows(raw_perm, inv_perm, order).reshape(Rr, S, C)
+
     kept_idx, order, inv_perm = cull_points(scores, keep_k, mode=cfg.partition)
 
     pts_kept = jnp.take(flat, kept_idx, axis=0)[None]  # (1, K, 3)
@@ -330,7 +374,6 @@ def query_with_culling(
     # with a take (no scatter). inv_perm is a PERMUTATION whose inverse
     # (order) we already hold, so the backward is a plain inverse-permutation
     # gather (kernels.gather_vjp.permute_rows) — no sort, no accumulation.
-    n = flat.shape[0]
     raw_perm = jnp.concatenate(
         [raw_kept, jnp.zeros((n - keep_k, C), raw_kept.dtype)], axis=0
     )

@@ -83,19 +83,26 @@ def render_rays(
         and occ_grid is not None
         and cfg.occupancy.per_ray
     )
-    if cfg.occupancy is not None and occ_grid is not None and not per_ray:
+    use_occ = cfg.occupancy is not None and occ_grid is not None
+
+    def _keep_fraction(fine: bool) -> float:
+        kf = cfg.occupancy.keep_fraction
+        if not fine and cfg.occupancy.keep_fraction_coarse is not None:
+            kf = cfg.occupancy.keep_fraction_coarse
+        return kf
+
+    if use_occ and not per_ray:
         from hashnerf_tpu.render.occupancy import query_with_culling
 
-        kf = cfg.occupancy.keep_fraction
-
-        def run_query(st, p, vd, bb, fine):
+        def run_query(st, p, vd, bb, fine, scores=None):
             n = p.shape[0] * p.shape[1]
-            keep_k = min(n, -(-int(n * kf) // 128) * 128)
+            keep_k = min(n, -(-int(n * _keep_fraction(fine)) // 128) * 128)
             return query_with_culling(
-                query_fn, st, p, vd, bb, occ_grid, cfg.occupancy, keep_k, fine=fine
+                query_fn, st, p, vd, bb, occ_grid, cfg.occupancy, keep_k,
+                fine=fine, scores=scores,
             )
     else:
-        def run_query(st, p, vd, bb, fine):
+        def run_query(st, p, vd, bb, fine, scores=None):
             return query_fn(st, p, vd, bb, fine=fine)
 
     def score_z(z):
@@ -117,11 +124,11 @@ def render_rays(
         no global sort, no un-permute gather (PROFILE_r04.md slack items).
         `scores` lets the fine pass reuse scores already gathered for the
         coarse z's (carried through the z merge) instead of re-fetching all
-        S samples' grid cells.
+        S samples' grid cells — both the global (block) and per-ray modes.
         """
         if not per_ray:
             pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-            raw = run_query(state, pts, viewdirs, bbox, fine=fine)
+            raw = run_query(state, pts, viewdirs, bbox, fine=fine, scores=scores)
             out = raw2outputs(
                 raw, z_vals, rays_d, cfg.raw_noise_std, cfg.white_bkgd,
                 noise_key=noise_key,
@@ -131,10 +138,7 @@ def render_rays(
         from hashnerf_tpu.render.occupancy import cull_per_ray
 
         S = z_vals.shape[-1]
-        kf = cfg.occupancy.keep_fraction
-        if not fine and cfg.occupancy.keep_fraction_coarse is not None:
-            kf = cfg.occupancy.keep_fraction_coarse
-        K = min(S, max(1, -(-int(S * kf) // 8) * 8))
+        K = min(S, max(1, -(-int(S * _keep_fraction(fine)) // 8) * 8))
         if scores is None:
             scores = score_z(z_vals)
         # (R, K) ascending z order
@@ -166,7 +170,7 @@ def render_rays(
     if cfg.perturb:
         z_vals = perturb_z_vals(k_strat, z_vals)
 
-    scores_c = score_z(z_vals) if per_ray else None
+    scores_c = score_z(z_vals) if use_occ else None
     out, w_full, raw = march(z_vals, k_noise0, fine=False, scores=scores_c)
 
     ret = {}
@@ -176,11 +180,12 @@ def render_rays(
             sparsity_loss0=out.sparsity_loss,
         )
         z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        if per_ray:
+        if use_occ:
             # Score only the NEW importance samples and carry both score
             # sets through a multi-operand sort keyed on z — reuses the
             # N_samples grid fetches the coarse pass already paid (25% of
-            # the fine pass's score-gather volume at 64+128).
+            # the fine pass's score-gather volume at 64+128). Applies to
+            # both culling modes (global/block and per-ray).
             z_samples = sample_pdf(
                 k_pdf, z_vals_mid, w_full[..., 1:-1], cfg.N_importance,
                 det=(not cfg.perturb),
@@ -225,7 +230,7 @@ def render_rays(
             )
             z_samples = jax.lax.stop_gradient(z_samples)
             z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
-        if not per_ray:
+        if not use_occ:
             out, _, raw = march(z_vals, k_noise1, fine=True)
             ret["z_std"] = jnp.std(z_samples, axis=-1)
 

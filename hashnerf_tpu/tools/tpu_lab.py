@@ -453,6 +453,27 @@ def stage_perray2():
     measure("4096 .125 approx", N_rand=4096, occ_per_ray_select="approx")
 
 
+def stage_blockcull():
+    """Block-granular GLOBAL culling (keeps cross-ray reallocation, cuts the
+    cull sort /B and widens un-permute rows xB) vs the per-point global path
+    and per-ray, at matched budgets."""
+    scene = _scene()
+    base = dict(aabb_clip=True, packed_layout=True, occ_adaptive_update=True)
+
+    def measure(tag, **over):
+        _measure_variant(scene, tag, **base, **over)
+
+    measure("global pt keep=.25 1024 (r3)")
+    measure("global blk8 keep=.25 1024", occ_block=8)
+    measure("global blk8 keep=.25 2048", occ_block=8, N_rand=2048)
+    measure("global blk8 keep=.1875 2048", occ_block=8, N_rand=2048,
+            occ_keep_fraction=0.1875)
+    measure("global blk8 .25c/.125f 2048", occ_block=8, N_rand=2048,
+            occ_keep_fraction=0.125, occ_keep_coarse=0.25)
+    measure("global blk8 keep=.125 2048", occ_block=8, N_rand=2048,
+            occ_keep_fraction=0.125)
+
+
 # --------------------------------------------------------------------------- #
 def stage_ledger():
     """Roofline ledger for the flagship step (VERDICT r3 #7): each phase at
@@ -766,13 +787,39 @@ QUALITY_CONFIGS = {
                    "QB_PERRAY": "1", "QB_ADAPTIVE": "1",
                    "QB_KEEP_COARSE": "0.25",
                    "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # ---- block-granular GLOBAL culling (cross-ray reallocation kept;
+    # r4p_keep25 measured per-ray -2.3 dB vs global at equal budget) ----
+    # block8 global at the proven keep=.25, reference batch — quality must
+    # track abl_L4F8's 28.89 (block granularity is the only delta)
+    "r4b_keep25": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                   "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                   "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1"},
+    # the block8 flagship candidate: 2048 rays, anneal to keep=.1875
+    "r4b_flagship2048": {"QB_KEEP": "0.25", "QB_AABB": "1",
+                         "QB_NRAND": "2048", "QB_PACKED": "1",
+                         "QB_ITERS": "1536", "QB_BLOCK": "128",
+                         "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                         "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.1875"},
+    # deeper anneal (0.125 steady): did global allocation fix what flat
+    # per-ray 0.125 broke?
+    "r4b_keep125_2048": {"QB_KEEP": "0.25", "QB_AABB": "1",
+                         "QB_NRAND": "2048", "QB_PACKED": "1",
+                         "QB_ITERS": "1536", "QB_BLOCK": "128",
+                         "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                         "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # block8 long run at the flagship anneal for iters/seconds-to-30dB
+    "r4b_psnr30": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "2048",
+                   "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "128",
+                   "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                   "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.1875"},
 }
 
 _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
             "QB_L", "QB_F", "QB_TAG", "QB_PARITY", "QB_PACKED", "QB_SCENE",
             "QB_CHUNK", "QB_VIEWS", "QB_EVALCULL", "QB_DTYPE", "QB_SHARE",
             "QB_OCC", "QB_FASTMERGE", "QB_PARTITION", "QB_ADAPTIVE",
-            "QB_KEEP_SCHEDULE", "QB_PERRAY", "QB_KEEP_COARSE", "QB_SELECT")
+            "QB_KEEP_SCHEDULE", "QB_PERRAY", "QB_KEEP_COARSE", "QB_SELECT",
+            "QB_OCCBLOCK")
 
 
 def stage_quality(tag):
@@ -832,6 +879,8 @@ def main(stages):
                 stage_perray()
             elif st == "perray2":
                 stage_perray2()
+            elif st == "blockcull":
+                stage_blockcull()
             elif st == "ledger":
                 stage_ledger()
             elif st == "bench":

@@ -137,6 +137,12 @@ def config_parser() -> argparse.ArgumentParser:
                         "compacted and composited with original per-sample "
                         "dists (exact zero-fill semantics; no global sort / "
                         "un-permute; shards over rays with no collective)")
+    parser.add_argument("--occ_block", type=int, default=1,
+                        help="global culling granularity in consecutive "
+                        "samples (must divide N_samples and N_samples+"
+                        "N_importance): keeps the global budget's cross-ray "
+                        "reallocation while cutting the cull sort and "
+                        "widening un-permute rows by the block factor")
     parser.add_argument("--occ_keep_coarse", type=float, default=-1.0,
                         help="coarse-pass keep budget override (<=0: use "
                         "--occ_keep_fraction). The coarse pass drives the "

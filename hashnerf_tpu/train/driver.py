@@ -73,6 +73,7 @@ def render_config_from_args(args, ndc: bool = False, lindisp: bool = False) -> R
             adaptive_update=getattr(args, "occ_adaptive_update", False),
             per_ray=getattr(args, "occ_per_ray", False),
             per_ray_select=getattr(args, "occ_per_ray_select", "sort"),
+            block=getattr(args, "occ_block", 1),
             keep_fraction_coarse=(
                 kc if (kc := getattr(args, "occ_keep_coarse", -1.0)) > 0
                 else None

@@ -350,3 +350,75 @@ def test_per_ray_training_improves_psnr():
     m0 = tr.run_steps(8, block_size=8)
     m1 = tr.run_steps(72, block_size=8)
     assert float(m1["psnr"]) > float(m0["psnr"])
+
+
+def test_block_culling_equals_zero_fill_composite():
+    """Block-granular global culling: compositing the compacted blocks must
+    equal the full composite with non-kept BLOCKS' sigmas zeroed."""
+    from hashnerf_tpu.ops.sampling import stratified_z_vals
+    from hashnerf_tpu.ops.volume import raw2outputs
+    from hashnerf_tpu.render.occupancy import (
+        cull_points, occupancy_scores, query_with_culling,
+    )
+    from hashnerf_tpu.render.renderer import RenderConfig, render_rays
+
+    rays_o, rays_d, bbox = _blob_rays()
+    R, S, B = rays_o.shape[0], 32, 8
+    occ = OccupancyConfig(resolution=32, keep_fraction=0.25, block=B)
+    grid = _blob_grid(occ, bbox)
+    near, far = jnp.full((R,), 1.0), jnp.full((R,), 3.0)
+    cfg = RenderConfig(N_samples=S, N_importance=0, perturb=False,
+                       use_viewdirs=False, occupancy=occ)
+    ret = render_rays(None, _blob_query_fn, rays_o, rays_d, None,
+                      near, far, bbox, None, cfg, occ_grid=grid)
+
+    # manual zero-fill at block granularity
+    z = stratified_z_vals(near, far, S)
+    pts = rays_o[:, None] + rays_d[:, None] * z[..., None]
+    n = R * S
+    keep_k = min(n, -(-int(n * occ.keep_fraction) // 128) * 128)
+    scores = occupancy_scores(grid, pts.reshape(-1, 3), bbox, occ)
+    bscores = jnp.max(scores.reshape(n // B, B), -1)
+    kept_b, _, _ = cull_points(bscores, keep_k // B, mode=occ.partition)
+    keep = jnp.zeros((n // B,), bool).at[kept_b].set(True)
+    keep = jnp.repeat(keep, B).reshape(R, S)
+    raw = _blob_query_fn(None, pts, None, bbox)
+    raw = raw.at[..., 3].set(jnp.where(keep, raw[..., 3], 0.0))
+    out = raw2outputs(raw, z, rays_d, 0.0, False)
+
+    np.testing.assert_allclose(
+        np.asarray(ret["rgb_map"]), np.asarray(out.rgb_map), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ret["acc_map"]), np.asarray(out.acc_map), atol=1e-5)
+
+
+def test_block_culling_viewdirs_routing():
+    """With viewdirs on, each kept block must receive ITS ray's direction
+    (blocks never straddle rays)."""
+    from hashnerf_tpu.render.occupancy import query_with_culling
+
+    R, S, B = 8, 16, 4
+
+    def dir_echo_query(state, pts, vd, bbox, fine=False):
+        # raw rgb channels = the viewdir, sigma = 1 (marks evaluated pts)
+        Rr, Ss = pts.shape[0], pts.shape[1]
+        rgb = jnp.broadcast_to(vd[:, None, :], (Rr, Ss, 3))
+        return jnp.concatenate([rgb, jnp.ones((Rr, Ss, 1))], -1)
+
+    occ = OccupancyConfig(resolution=8, keep_fraction=0.5, block=B)
+    bbox = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
+    grid = jnp.ones((occ.n_cells,))
+    key = jax.random.PRNGKey(0)
+    pts = jax.random.uniform(key, (R, S, 3))
+    viewdirs = jax.random.normal(key, (R, 3))
+    keep_k = 64  # 16 blocks of the 32
+    raw = query_with_culling(dir_echo_query, None, pts, viewdirs, bbox,
+                             grid, occ, keep_k)
+    raw = np.asarray(raw)
+    kept = raw[..., 3] > 0.5  # (R, S) evaluated mask
+    vd = np.asarray(viewdirs)
+    for r in range(R):
+        got = raw[r][kept[r]][:, :3]
+        if got.size:
+            np.testing.assert_allclose(
+                got, np.broadcast_to(vd[r], got.shape), atol=1e-6)
