@@ -448,9 +448,11 @@ def stage_perray2():
     measure("2048 .125 sort (+score reuse)")
     measure("2048 .125 topk", occ_per_ray_select="topk")
     measure("2048 .125 approx", occ_per_ray_select="approx")
-    measure("1024 .125 sort", N_rand=1024)
-    measure("1024 .125 approx", N_rand=1024, occ_per_ray_select="approx")
-    measure("4096 .125 approx", N_rand=4096, occ_per_ray_select="approx")
+    base["N_rand"] = 1024
+    measure("1024 .125 sort")
+    measure("1024 .125 approx", occ_per_ray_select="approx")
+    base["N_rand"] = 4096
+    measure("4096 .125 approx", occ_per_ray_select="approx")
 
 
 def stage_blockcull():
@@ -807,6 +809,20 @@ QUALITY_CONFIGS = {
                          "QB_ITERS": "1536", "QB_BLOCK": "128",
                          "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
                          "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # the asymmetric block8 flagship: coarse 0.25 constant, fine anneals to
+    # 0.125 (101k rays/s measured) — THE 10x-gate candidate
+    "r4b_asym2048": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "2048",
+                     "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                     "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                     "QB_KEEP_COARSE": "0.25",
+                     "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # asym block8 long run for iters/seconds-to-30dB
+    "r4basym_psnr30": {"QB_KEEP": "0.125", "QB_AABB": "1",
+                       "QB_NRAND": "2048", "QB_PACKED": "1",
+                       "QB_ITERS": "6144", "QB_BLOCK": "128",
+                       "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                       "QB_KEEP_COARSE": "0.25",
+                       "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
     # block8 long run at the flagship anneal for iters/seconds-to-30dB
     "r4b_psnr30": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "2048",
                    "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "128",
