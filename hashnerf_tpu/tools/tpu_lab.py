@@ -816,6 +816,12 @@ QUALITY_CONFIGS = {
                      "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
                      "QB_KEEP_COARSE": "0.25",
                      "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # fallback asym: fine floor 0.1875 instead of 0.125
+    "r4b_asym1875": {"QB_KEEP": "0.1875", "QB_AABB": "1", "QB_NRAND": "2048",
+                     "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                     "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                     "QB_KEEP_COARSE": "0.25",
+                     "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.1875"},
     # asym block8 long run for iters/seconds-to-30dB
     "r4basym_psnr30": {"QB_KEEP": "0.125", "QB_AABB": "1",
                        "QB_NRAND": "2048", "QB_PACKED": "1",
