@@ -834,6 +834,11 @@ QUALITY_CONFIGS = {
                    "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "128",
                    "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
                    "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.1875"},
+    # time-to-quality king: blk8 keep=.25 at the reference batch, long run
+    # (28.99 @1536 == the global-path quality at 14.9 ms/step)
+    "r4k_psnr30": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
+                   "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "128",
+                   "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1"},
 }
 
 _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",

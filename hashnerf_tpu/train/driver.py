@@ -468,7 +468,11 @@ class Trainer:
             args, render_cfg, self.query_fn, self.bbox,
             self.model_cfg.hash_grid, with_tv=with_tv,
         )
-        images, poses = self._d_images, self._d_poses
+        # NOTE: images/poses are block ARGUMENTS, not closed-over device
+        # arrays — a jitted closure over a concrete jnp array bakes it into
+        # the HLO as a constant, and at full scale (100x800x800 images) the
+        # resulting compile payload exceeds the remote-compile tunnel's
+        # request limit (HTTP 413) before it even reaches XLA.
         Kmat, i_train = self._d_K, self._d_i_train
         H, W = self.scene.H, self.scene.W
         n_rand = args.N_rand
@@ -484,7 +488,7 @@ class Trainer:
         else:
             ys0, xs0, nH, nW = 0, 0, H, W
 
-        def sample_batch(key):
+        def sample_batch(key, images, poses):
             k_img, k_pix = jax.random.split(key)
             idx = i_train[jax.random.randint(k_img, (), 0, i_train.shape[0])]
             sel = jax.random.choice(k_pix, nH * nW, (n_rand,), replace=False)
@@ -504,9 +508,9 @@ class Trainer:
                 )
             return self._shard_rays_constraint(batch)
 
-        def train_one(state, opt_state, key, tv_w, occ_grid):
+        def train_one(state, opt_state, key, tv_w, occ_grid, images, poses):
             k_batch, k_step = jax.random.split(key)
-            batch = sample_batch(k_batch)
+            batch = sample_batch(k_batch, images, poses)
             (loss, (psnr, img_loss)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state, batch, k_step, tv_w, occ_grid)
@@ -519,11 +523,13 @@ class Trainer:
         if occ_mode is None:
 
             @jax.jit
-            def block(state, opt_state, occ_grid, key, tv_w):
+            def block(state, opt_state, occ_grid, key, tv_w, images, poses):
                 def body(carry, _):
                     state, opt_state, key = carry
                     key, k = jax.random.split(key)
-                    state, opt_state, m = train_one(state, opt_state, k, tv_w, None)
+                    state, opt_state, m = train_one(
+                        state, opt_state, k, tv_w, None, images, poses
+                    )
                     return (state, opt_state, key), m
 
                 (state, opt_state, key), ms = jax.lax.scan(
@@ -542,7 +548,7 @@ class Trainer:
         occ_update = self._occ_update_fn
 
         @jax.jit
-        def block(state, opt_state, occ_grid, key, tv_w):
+        def block(state, opt_state, occ_grid, key, tv_w, images, poses):
             def seg(carry, _):
                 state, opt_state, occ_grid, key = carry
 
@@ -550,7 +556,8 @@ class Trainer:
                     state, opt_state, key = c
                     key, k = jax.random.split(key)
                     state, opt_state, m = train_one(
-                        state, opt_state, k, tv_w, occ_grid if cull else None
+                        state, opt_state, k, tv_w,
+                        occ_grid if cull else None, images, poses,
                     )
                     return (state, opt_state, key), m
 
@@ -651,7 +658,8 @@ class Trainer:
             tv_w = jnp.float32(args.tv_loss_weight if use_tv else 0.0)
             occ_in = self.occ_grid if occ_mode is not None else None
             self.state, self.opt_state, occ_out, metrics = fn(
-                self.state, self.opt_state, occ_in, kb, tv_w
+                self.state, self.opt_state, occ_in, kb, tv_w,
+                self._d_images, self._d_poses,
             )
             if occ_mode is not None:
                 self.occ_grid = occ_out
