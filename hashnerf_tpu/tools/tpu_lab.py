@@ -474,6 +474,10 @@ def stage_blockcull():
             occ_keep_fraction=0.125, occ_keep_coarse=0.25)
     measure("global blk8 keep=.125 2048", occ_block=8, N_rand=2048,
             occ_keep_fraction=0.125)
+    measure("global blk8 .25c/.125f 1024", occ_block=8,
+            occ_keep_fraction=0.125, occ_keep_coarse=0.25)
+    measure("global blk8 .25c/.1875f 1024", occ_block=8,
+            occ_keep_fraction=0.1875, occ_keep_coarse=0.25)
 
 
 # --------------------------------------------------------------------------- #
@@ -816,6 +820,19 @@ QUALITY_CONFIGS = {
                      "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
                      "QB_KEEP_COARSE": "0.25",
                      "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # the asym block8 flagship at the REFERENCE batch (throughput + quality
+    # + time-to-30dB in one config)
+    "r4b_asym1024": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                     "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                     "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                     "QB_KEEP_COARSE": "0.25",
+                     "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    "r4basym1024_psnr30": {"QB_KEEP": "0.125", "QB_AABB": "1",
+                           "QB_NRAND": "1024", "QB_PACKED": "1",
+                           "QB_ITERS": "6144", "QB_BLOCK": "128",
+                           "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                           "QB_KEEP_COARSE": "0.25",
+                           "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
     # fallback asym: fine floor 0.1875 instead of 0.125
     "r4b_asym1875": {"QB_KEEP": "0.1875", "QB_AABB": "1", "QB_NRAND": "2048",
                      "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
