@@ -91,10 +91,13 @@ def build_trainer():
         args.share_fine = True
         args.compute_dtype = "bfloat16"
         args.use_occupancy = True
-        # keep=0.25 is the quality-validated budget (BENCH_QUALITY_r1fast
-        # curve ≈ the reference execution's); 0.125 measures ~1.5x faster but
-        # converges measurably worse per iteration on the procedural scene.
-        args.occ_keep_fraction = float(os.environ.get("BENCH_KEEP", "0.25"))
+        # Round-4 flagship budgets (block-8 GLOBAL culling, asymmetric):
+        # coarse keeps 0.25 (it drives the fine PDF; its encode is ~1/3 of
+        # fine's), fine runs the annealed schedule's steady-state 0.125.
+        # Quality at these exact flags: BENCH_QUALITY_r4b_asym1024 (27.99 dB
+        # @1536, 30 dB at iter 3045 = 32.9 s of steady stepping — vs 838 s
+        # for TPU reference-exact parity, BENCH_QUALITY_r4_parity2k).
+        args.occ_keep_fraction = float(os.environ.get("BENCH_KEEP", "0.125"))
         args.occ_warmup = 8
         args.aabb_clip = True
         # round-4 execution knobs (defaults = the measured-best set; the
@@ -105,9 +108,9 @@ def build_trainer():
         # gather), importance-sampled grid updates.
         args.fast_merge = bool(int(os.environ.get("BENCH_FASTMERGE", "0")))
         args.occ_partition = os.environ.get("BENCH_PARTITION", "sort1")
-        args.occ_per_ray = bool(int(os.environ.get("BENCH_PERRAY", "1")))
-        args.occ_block = int(os.environ.get("BENCH_OCC_BLOCK", "1"))
-        kc = float(os.environ.get("BENCH_KEEP_COARSE", "-1"))
+        args.occ_per_ray = bool(int(os.environ.get("BENCH_PERRAY", "0")))
+        args.occ_block = int(os.environ.get("BENCH_OCC_BLOCK", "8"))
+        kc = float(os.environ.get("BENCH_KEEP_COARSE", "0.25"))
         if kc > 0:
             args.occ_keep_coarse = kc
         args.occ_per_ray_select = os.environ.get("BENCH_SELECT", "sort")
