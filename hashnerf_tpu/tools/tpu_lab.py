@@ -833,6 +833,12 @@ QUALITY_CONFIGS = {
                            "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
                            "QB_KEEP_COARSE": "0.25",
                            "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # the SHIPPED flagship flags on the hard multi-object scene
+    "r4b_asym_multi": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                       "QB_PACKED": "1", "QB_ITERS": "2048", "QB_BLOCK": "128",
+                       "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                       "QB_KEEP_COARSE": "0.25", "QB_SCENE": "multi",
+                       "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
     # fallback asym: fine floor 0.1875 instead of 0.125
     "r4b_asym1875": {"QB_KEEP": "0.1875", "QB_AABB": "1", "QB_NRAND": "2048",
                      "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
