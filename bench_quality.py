@@ -96,7 +96,7 @@ def main():
     trainer.eval_cull = bool(int(os.environ.get("QB_EVALCULL", "0")))
 
     curve = []
-    m = {"psnr": float("nan")}
+    m = {"psnr": float("nan"), "loss": float("nan")}
     t0 = time.time()
     train_s = 0.0          # wall time spent INSIDE run_steps (no eval renders)
     block_times = []       # (steps, seconds, fresh_compile?) per block
@@ -107,8 +107,11 @@ def main():
         tb = time.time()
         try:
             m = trainer.run_steps(b, block_size=b)
-        except Exception as e:  # transient remote-compile RPC flakes
-            # recompute the remainder from the trainer's own counter: the
+        except jax.errors.JaxRuntimeError as e:
+            # transient remote-compile/dispatch RPC flakes surface as
+            # XlaRuntimeError from the tunnel; anything else (a genuine
+            # bug) propagates (ADVICE r4 #1 / VERDICT r4 weak #4).
+            # Recompute the remainder from the trainer's own counter: the
             # failed call may have completed some sub-blocks already
             # (ADVICE r3 #1 — a blind retry double-trains those steps)
             b_left = done + b - trainer.global_step

@@ -41,7 +41,13 @@ def raw2outputs(
     `dists` (z-units, same shape as z_vals) overrides the default
     forward-diff + 1e10-tail computation — used by the per-ray culling path
     (render/occupancy.py), where each kept sample must carry its ORIGINAL
-    local interval so the compacted composite equals the zero-fill one.
+    local interval so the compacted composite matches the zero-fill one.
+    (Two caveats make that match near-exact rather than bit-exact: the
+    `1 - alpha + 1e-10` cumprod term contributes a (1+1e-10) factor per
+    CULLED sample that the compacted path omits — ~1e-8 relative drift at
+    ~150 culled samples — and with raw_noise_std > 0 zero-fill adds noise to
+    culled samples' sigma while the compacted path never evaluates them.
+    Tests compare at atol 1e-5; training noise defaults to 0. ADVICE r4 #4.)
     """
     if dists is None:
         dists = z_vals[..., 1:] - z_vals[..., :-1]

@@ -50,9 +50,10 @@ class OccupancyConfig:
     adaptive_update: bool = False
     # Per-RAY culling (round 4): each ray keeps its top ceil(S*keep_fraction)
     # samples by score, compacted in z order and composited with their
-    # ORIGINAL per-sample dists — transmittance over kept samples is then
-    # EXACTLY the zero-fill composite (culled alpha=0 terms drop out of the
-    # cumprod). Removes the global cull sort AND the un-permute gather from
+    # ORIGINAL per-sample dists — transmittance over kept samples then
+    # matches the zero-fill composite to ~1e-8 (culled alpha=0 terms drop
+    # out of the cumprod up to its 1e-10 epsilon; see ops/volume.py
+    # raw2outputs for the epsilon + raw_noise_std caveats). Removes the global cull sort AND the un-permute gather from
     # the hot path (PROFILE_r04.md: 2.0 + 2.1 ms of the 21 ms step) and
     # shards cleanly over the ray axis (no cross-ray collective). The only
     # semantic delta vs the global budget is allocation: every ray gets the
@@ -75,7 +76,8 @@ class OccupancyConfig:
     # at equal budget: r4p_keep25 26.6 vs abl_L4F8 28.89 @1536) while
     # cutting the cull sort 8x and widening the un-permute rows 8x (row
     # fetches are count-bound, docs/TPU_DESIGN.md). Block score = max of
-    # member scores; kept blocks composite EXACTLY as zero-fill.
+    # member scores; kept blocks composite as zero-fill (same 1e-10-epsilon
+    # caveat as above).
     block: int = 1
 
     @property

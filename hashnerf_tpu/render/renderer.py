@@ -42,7 +42,9 @@ class RenderConfig:
     # sorted (exponential-spacings order statistics — identical multiset
     # law) and rank-merge them with the sorted stratified z's instead of the
     # reference's full sort of the concatenation (run_nerf_helpers.py:551).
-    # Off = reference-exact RNG stream.
+    # Off = reference-exact RNG stream. NO-OP when occupancy culling is on:
+    # the occ path uses its own multi-operand z-keyed lax.sort to carry the
+    # reused scores through the merge (render_config_from_args warns).
     fast_merge: bool = False
 
     def eval_mode(self) -> "RenderConfig":

@@ -92,6 +92,11 @@ def config_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use_depth", action="store_true")
     parser.add_argument("--use_gradient", action="store_true")
     parser.add_argument("--stage", type=int, default=0)
+    parser.add_argument("--st3d_eval_views", type=int, default=0,
+                        help="TPU extension: render only the LAST k test "
+                        "panoramas in eval_test_omninerf (the GT pose is "
+                        "always last, so statistics.txt is unaffected); "
+                        "0 = all views (reference behavior)")
 
     # logging/saving options
     parser.add_argument("--i_print", type=int, default=100)

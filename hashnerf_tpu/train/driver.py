@@ -79,6 +79,31 @@ def render_config_from_args(args, ndc: bool = False, lindisp: bool = False) -> R
                 else None
             ),
         )
+        # --occ_block must divide both passes' sample counts AND 128 (the
+        # keep budget is rounded up to a multiple of 128, so 128 % block == 0
+        # guarantees keep_k % block == 0 for any batch size). Without this
+        # the culling path would silently fall back to per-point selection
+        # (ADVICE r4 #2: a user-set --occ_block ignored with no warning).
+        B = occupancy.block
+        if B > 1 and not occupancy.per_ray:
+            S_fine = args.N_samples + args.N_importance
+            if args.N_samples % B or S_fine % B or 128 % B:
+                raise ValueError(
+                    f"--occ_block={B} must divide N_samples ({args.N_samples}), "
+                    f"N_samples+N_importance ({S_fine}), and 128 (the keep-"
+                    "budget rounding); pick a power-of-two block that divides "
+                    "all three or use --occ_block 1"
+                )
+        if getattr(args, "fast_merge", False):
+            # The occupancy path replaces the z merge with a multi-operand
+            # lax.sort that carries the reused scores (renderer.py), so
+            # fast_merge's presorted-uniform draw does not apply there
+            # (ADVICE r4 #3: the combination used to change the RNG stream
+            # silently).
+            print(
+                "[config] note: --fast_merge is superseded by the occupancy "
+                "path's score-carrying z merge; ignoring fast_merge"
+            )
     return RenderConfig(
         fast_merge=getattr(args, "fast_merge", False),
         N_samples=args.N_samples,
@@ -131,7 +156,7 @@ def make_optimizer(args, state: NGPState) -> optax.GradientTransformation:
 
 def make_loss_fn(
     args, render_cfg: RenderConfig, query_fn, bbox, hcfg: HashGridConfig,
-    with_tv: bool = True,
+    with_tv: bool = True, hwf=None,
 ):
     """Build the full training loss (image + coarse + sparsity + TV).
 
@@ -140,9 +165,18 @@ def make_loss_fn(
     hash gather/scatter entirely for the remaining 98% of training instead of
     multiplying it by 0.
 
+    `hwf` is required when render_cfg.ndc: the LLFF forward-facing path warps
+    TRAINING rays to NDC here (the reference does it inside render(),
+    run_nerf_helpers.py:353-356, which its train loop calls; our train step
+    calls render_rays directly, so the warp must happen in the loss).
+    viewdirs stay the normalized WORLD directions (reference computes them
+    before the warp, run_nerf_helpers.py:344-350).
+
     Shared by the single-chip Trainer and the sharded multi-chip step
     (hashnerf_tpu.parallel.train_sharded)."""
     cfg = render_cfg
+    if cfg.ndc and hwf is None:
+        raise ValueError("make_loss_fn: render_cfg.ndc requires hwf=(H, W, focal)")
     use_hash = (args.i_embed == EMBED_HASH) and with_tv
     packed = getattr(args, "packed_layout", False)
     if use_hash and packed:
@@ -164,9 +198,15 @@ def make_loss_fn(
 
     def loss_fn(state, batch, key, tv_weight, occ_grid=None):
         k_render, k_tv = jax.random.split(key)
+        rays_o, rays_d = batch["rays_o"], batch["rays_d"]
+        if cfg.ndc:
+            from hashnerf_tpu.ops.rays import get_ndc_rays
+
+            H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+            rays_o, rays_d = get_ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
         ret = render_rays(
             state, query_fn,
-            batch["rays_o"], batch["rays_d"], batch.get("viewdirs"),
+            rays_o, rays_d, batch.get("viewdirs"),
             batch["near"], batch["far"], bbox, k_render, cfg,
             occ_grid=occ_grid,
         )
@@ -310,6 +350,7 @@ class Trainer:
             loss_fn = make_loss_fn(
                 self.args, self._render_cfg_for(keep), self.query_fn, self.bbox,
                 self.model_cfg.hash_grid, with_tv=with_tv,
+                hwf=self.scene.hwf if self.scene is not None else None,
             )
 
             @jax.jit
@@ -467,6 +508,7 @@ class Trainer:
         loss_fn = make_loss_fn(
             args, render_cfg, self.query_fn, self.bbox,
             self.model_cfg.hash_grid, with_tv=with_tv,
+            hwf=self.scene.hwf if self.scene is not None else None,
         )
         # NOTE: images/poses are block ARGUMENTS, not closed-over device
         # arrays — a jitted closure over a concrete jnp array bakes it into
@@ -684,6 +726,7 @@ class Trainer:
         loss_fn = make_loss_fn(
             args, render_cfg, self.query_fn, self.bbox,
             self.model_cfg.hash_grid, with_tv=with_tv,
+            hwf=self.scene.hwf if self.scene is not None else None,
         )
         n_rand = args.N_rand
         near, far = self.near, self.far

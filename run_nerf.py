@@ -151,8 +151,10 @@ def eval_test_omninerf(trainer, rays_test, H, W, savedir):
 
     os.makedirs(savedir, exist_ok=True)
     n_views = rays_test.rgb.shape[0] // (H * W)
+    k = getattr(trainer.args, "st3d_eval_views", 0)
+    first = max(0, n_views - k) if k > 0 else 0
     rgbs = []
-    for v in range(n_views):
+    for v in range(first, n_views):
         sl = slice(v * H * W, (v + 1) * H * W)
         rgb, _, _, _ = render(
             trainer.state, trainer.query_fn, H, W, None, trainer.bbox,

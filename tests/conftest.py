@@ -35,3 +35,25 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def st3d_dir(tmp_path_factory):
+    """Tiny st3d scene via the data-generation tool (full pipeline: one
+    512x1024 RGB-D panorama -> 100 masked train views + 10 test views,
+    reference equirect/Generate_data.ipynb layout). Session-scoped: shared
+    by the loader tests and the st3d CLI e2e test."""
+    import imageio.v2 as imageio
+
+    from hashnerf_tpu.tools.generate_equirect_data import generate
+
+    root = tmp_path_factory.mktemp("pano") / "scene01"
+    os.makedirs(root)
+    gen = np.random.default_rng(3)
+    H, W = 512, 1024
+    rgb = gen.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    d = (gen.uniform(0.3, 1.0, (H, W)) * 65535).astype(np.uint16)
+    imageio.imwrite(str(root / "scene01_rgb.png"), rgb)
+    imageio.imwrite(str(root / "scene01_d.png"), d)
+    generate(str(root), n_train=100, n_test=10, radius=0.1, seed=0)
+    return str(root)

@@ -62,6 +62,53 @@ def test_cli_resume_continues(cli_env):
     assert "000006.ckpt" in ckpts  # from the first run, not overwritten from 0
 
 
+def test_cli_st3d_train(st3d_dir, tmp_path):
+    """st3d (equirect/OmniNeRF) CLI loop end-to-end (VERDICT r4 missing #2):
+    datagen tool -> load_st3d_data -> main_st3d pool loop with depth AND
+    gradient supervision (NeRFGradient, positional embed — reference pairs
+    use_gradient with the NeRF family, run_nerf_helpers.py:85-93) ->
+    eval_test_omninerf artifacts (statistics.txt + video2.gif, reference
+    run_nerf.py:171-186) -> st3d checkpoint."""
+    import run_nerf
+
+    basedir = tmp_path / "st3d_logs"
+    run_nerf.main([
+        "--expname", "st3d_smoke",
+        "--basedir", str(basedir),
+        "--dataset_type", "st3d",
+        "--datadir", st3d_dir,
+        "--i_embed", "0",
+        "--i_embed_views", "0",
+        "--use_viewdirs",
+        "--use_depth",
+        "--use_gradient",
+        "--netdepth", "2",
+        "--netwidth", "32",
+        "--N_rand", "256",
+        "--N_samples", "8",
+        "--N_importance", "0",
+        "--N_iters", "4",
+        "--i_print", "2",
+        "--i_weights", "4",
+        "--i_testset", "4",
+        "--i_video", "100000",
+        "--chunk", "8192",
+        "--st3d_eval_views", "2",
+    ])
+    expdirs = os.listdir(basedir)
+    assert len(expdirs) == 1
+    exp = os.path.join(basedir, expdirs[0])
+    files = os.listdir(exp)
+    assert "000004.ckpt" in files
+    testset = os.path.join(exp, "testset_000004")
+    assert os.path.isdir(testset)
+    stats = open(os.path.join(testset, "statistics.txt")).read()
+    assert "psnr:" in stats
+    psnr = float(stats.split("psnr:")[1].strip())
+    assert np.isfinite(psnr)
+    assert "video2.gif" in os.listdir(testset)
+
+
 def test_cli_render_only(cli_env):
     import run_nerf
 

@@ -113,24 +113,8 @@ def test_linemod_loader(tmp_path):
     assert len(sc.i_test) == 2
 
 
-@pytest.fixture(scope="module")
-def st3d_dir(tmp_path_factory):
-    """Tiny st3d scene via the data-generation tool (full pipeline test)."""
-    import hashnerf_tpu.data.st3d as st3d_mod
-    from hashnerf_tpu.tools.generate_equirect_data import generate
-
-    root = tmp_path_factory.mktemp("pano") / "scene01"
-    os.makedirs(root)
-    rng = np.random.default_rng(3)
-    H, W = 512, 1024
-    rgb = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
-    d = (rng.uniform(0.3, 1.0, (H, W)) * 65535).astype(np.uint16)
-    _write_png(root / "scene01_rgb.png", rgb)
-    _write_png(root / "scene01_d.png", d)
-    generate(str(root), n_train=100, n_test=10, radius=0.1, seed=0)
-    return str(root)
-
-
+# st3d_dir fixture lives in conftest.py (session scope — shared with the
+# st3d CLI e2e test in test_cli.py)
 def test_st3d_loader(st3d_dir):
     from hashnerf_tpu.data.st3d import load_st3d_data
 

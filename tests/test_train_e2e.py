@@ -162,12 +162,23 @@ def test_tpu_fast_preset_training(scene):
     assert np.mean(psnrs[-10:]) > np.mean(psnrs[:10]) + 1.5
 
 
-def test_tv_packed_magnitude_comparable_to_unpacked():
-    """The packed TV must sit at the same order of magnitude as the
-    reference-style per-level cuboid TV for an equally-scaled table, so
-    --tv-loss-weight carries the same meaning across layouts (ADVICE r3 #3)."""
+@pytest.mark.parametrize(
+    "L,F,log2T,finest,log2_blocks",
+    [
+        (4, 4, 14, 128, 11),   # round-3 flagship-ish shape
+        (8, 2, 15, 256, 10),   # reference-like L/F split, deeper pyramid
+        (4, 8, 16, 512, 12),   # flagship L4/F8 at full finest_res
+    ],
+)
+def test_tv_packed_magnitude_matches_unpacked(L, F, log2T, finest, log2_blocks):
+    """--tv-loss-weight must mean the same thing across table layouts
+    (VERDICT r4 weak #5 / next #6): on an iid N(0, s) table both the packed
+    TV (per-level row batches, normalization derived from _tv_level_geometry)
+    and the reference-style per-level cuboid TV have expectation
+    6*s^2*F*cube_size^2 per level, so their ratio must sit near 1 — asserted
+    within 2x across THREE table shapes (sampling noise + the dense levels'
+    exact-cube vs hashed-cube difference are the only slack)."""
     import jax
-    import jax.numpy as jnp
     from hashnerf_tpu.ops.packed_grid import PackedGridConfig, init_packed_tables
     from hashnerf_tpu.train.losses import (
         total_variation_loss_all_levels,
@@ -175,8 +186,8 @@ def test_tv_packed_magnitude_comparable_to_unpacked():
     )
 
     pcfg = PackedGridConfig(
-        n_levels=4, n_features_per_level=4, log2_hashmap_size=14,
-        base_resolution=16, finest_resolution=128, log2_blocks=11,
+        n_levels=L, n_features_per_level=F, log2_hashmap_size=log2T,
+        base_resolution=16, finest_resolution=finest, log2_blocks=log2_blocks,
     )
     key = jax.random.PRNGKey(0)
     tables = init_packed_tables(key, pcfg)
@@ -184,9 +195,22 @@ def test_tv_packed_magnitude_comparable_to_unpacked():
     tables = jax.tree_util.tree_map(
         lambda x: jax.random.normal(key, x.shape) * 0.01, tables
     )
-    table_ref = jax.random.normal(key, (4, 1 << 14, 4)) * 0.01
-    tv_packed = float(total_variation_loss_packed(key, tables, pcfg))
-    tv_ref = float(total_variation_loss_all_levels(key, table_ref, 16, 128, 14))
+    table_ref = jax.random.normal(key, (L, 1 << log2T, F)) * 0.01
+    # average a few keys to separate the layout normalization from the
+    # single-draw sampling noise of the random cuboids/row batches
+    tv_packed = float(np.mean([
+        float(total_variation_loss_packed(jax.random.PRNGKey(k), tables, pcfg))
+        for k in range(4)
+    ]))
+    tv_ref = float(np.mean([
+        float(total_variation_loss_all_levels(
+            jax.random.PRNGKey(k), table_ref, 16, finest, log2T
+        ))
+        for k in range(4)
+    ]))
     assert tv_packed > 0 and tv_ref > 0
     ratio = tv_packed / tv_ref
-    assert 0.05 < ratio < 20.0, f"TV magnitude mismatch: ratio {ratio}"
+    assert 0.5 < ratio < 2.0, (
+        f"TV magnitude mismatch at L={L} F={F} T=2^{log2T} "
+        f"finest={finest}: packed/unpacked ratio {ratio:.3f}"
+    )
