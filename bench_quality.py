@@ -72,6 +72,7 @@ def main():
         args.occ_keep_coarse = float(os.environ.get("QB_KEEP_COARSE", "-1"))
         args.occ_per_ray_select = os.environ.get("QB_SELECT", "sort")
         args.occ_block = int(os.environ.get("QB_OCCBLOCK", "1"))
+        args.occ_update_every = int(os.environ.get("QB_UPDATE_EVERY", "16"))
         sched = os.environ.get("QB_KEEP_SCHEDULE", "")
         if sched:
             args.occ_keep_schedule = sched

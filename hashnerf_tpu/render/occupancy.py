@@ -70,6 +70,13 @@ class OccupancyConfig:
     # cheaply while the tight fine budget keeps the speed (observed: a flat
     # 0.125 anneal dropped the flagship curve ~4 dB at the switch).
     keep_fraction_coarse: Optional[float] = None
+    # Eval-only keep budget (None = exact full evaluation at eval, the
+    # reference semantics). Training rays/s is 2.2x the exact-eval rays/s
+    # (RENDER_r04), so i_video/i_testset hooks and render-only mode were
+    # the slowest part of the system; a LOOSE eval budget (0.5-0.75) on the
+    # sharp trained grid recovers most of the culling speedup while staying
+    # PSNR-neutral (gated by the measured delta-vs-exact in RENDER_r05).
+    keep_fraction_eval: Optional[float] = None
     # GLOBAL culling granularity in consecutive samples (must divide both
     # N_samples and N_samples+N_importance). block=8 keeps the global
     # budget's cross-ray reallocation (measured worth ~2.3 dB over per-ray

@@ -48,8 +48,24 @@ class RenderConfig:
     fast_merge: bool = False
 
     def eval_mode(self) -> "RenderConfig":
-        """perturb off, noise off (reference run_nerf_helpers.py:196-198)."""
-        return dataclasses.replace(self, perturb=False, raw_noise_std=0.0)
+        """perturb off, noise off (reference run_nerf_helpers.py:196-198).
+
+        When occupancy.keep_fraction_eval is set, eval uses THAT (looser)
+        budget for both passes instead of the training budgets — the
+        PSNR-neutral eval accelerator (keep_fraction_coarse=None makes the
+        coarse pass follow the same eval budget)."""
+        cfg = dataclasses.replace(self, perturb=False, raw_noise_std=0.0)
+        occ = self.occupancy
+        if occ is not None and occ.keep_fraction_eval is not None:
+            cfg = dataclasses.replace(
+                cfg,
+                occupancy=dataclasses.replace(
+                    occ,
+                    keep_fraction=occ.keep_fraction_eval,
+                    keep_fraction_coarse=None,
+                ),
+            )
+        return cfg
 
 
 def render_rays(

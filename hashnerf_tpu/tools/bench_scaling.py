@@ -309,6 +309,142 @@ def collective_volumes(n_devices=8):
     return out
 
 
+def _flagship_args(config_parser):
+    """The SHIPPED single-chip flagship execution config (bench.py defaults)
+    minus occupancy (collective wire bytes touch only params/grads, which
+    culling does not change — stated in SCALING_r05)."""
+    args = config_parser().parse_args([])
+    args.N_rand = 1024
+    args.N_samples = 64
+    args.N_importance = 128
+    args.finest_res = 512
+    args.log2_hashmap_size = 19
+    args.n_levels = 4
+    args.n_features_per_level = 8
+    args.share_fine = True
+    args.packed_layout = True
+    args.compute_dtype = "bfloat16"
+    args.use_viewdirs = True
+    args.white_bkgd = True
+    return args
+
+
+def project_two_host(step_ms_points=None, bw_grid_gbps=(6.25, 12.5, 25, 50, 100)):
+    """Paper-model the 2-host gate (VERDICT r4 next #3): compile the ZeRO-1
+    step on a data=2 mesh at the FLAGSHIP param shape, read the per-host DCN
+    wire bytes off the partitioned HLO, and combine with the MEASURED
+    single-chip step times into a projected 2-host weak-scaling efficiency
+    table under two overlap assumptions:
+
+      no_overlap  : eff = t_step / (t_step + t_wire)   (collectives serial)
+      full_overlap: eff = t_step / max(t_step, t_wire) (perfect hiding)
+
+    The truth on hardware lies between the two; the table states the DCN
+    bandwidth needed to clear the >=85% gate under each.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from hashnerf_tpu.data.synthetic import make_synthetic_scene
+    from hashnerf_tpu.train.config import config_parser
+    from hashnerf_tpu.train.driver import Trainer, make_loss_fn
+    from hashnerf_tpu.parallel.train_sharded import (
+        init_dp_zero, make_dp_zero_train_step, shard_train_batch,
+        make_sharded_train_step,
+    )
+
+    # measured single-chip steady step times at these exact param shapes
+    # (BENCH_QUALITY steady_step_ms, host-fetch-closed; see QUALITY_SUMMARY):
+    if step_ms_points is None:
+        step_ms_points = {
+            "flagship_asym_1024": 10.79,   # 96.3k rays/s (BENCH_r04/r05)
+            "keep25_1024": 14.75,          # quality-default budget
+            "asym_2048": 25.96,            # larger per-chip batch
+        }
+
+    devices = jax.devices()[:2]
+    mesh = Mesh(np.array(devices), axis_names=("data",))
+    args = _flagship_args(config_parser)
+    scene = make_synthetic_scene(H=64, W=64, n_train=4, n_test=1)
+    trainer = Trainer(args, scene)
+    loss_fn = make_loss_fn(
+        args, trainer.render_cfg, trainer.query_fn, trainer.bbox,
+        trainer.model_cfg.hash_grid, with_tv=False,
+    )
+    build = make_dp_zero_train_step(mesh, loss_fn, trainer.optimizer)
+    master, zopt = init_dp_zero(mesh, trainer.state, trainer.optimizer)
+    zstep = build(trainer.state, zopt)
+    batch = trainer.sample_image(0, args.N_rand, precrop=False)
+    d = batch["rays_d"]
+    batch["viewdirs"] = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    compiled = zstep.lower(
+        master, zopt, batch, jax.random.PRNGKey(0), jnp.float32(0.0)
+    ).compile()
+    summ = hlo_collective_summary(compiled.as_text())
+
+    n = 2
+
+    def wire_mb(s):
+        w = 0.0
+        for kind, ent in s.items():
+            if kind == "all-reduce":
+                w += 2 * ent["bytes"] * (n - 1) / n
+            elif kind == "reduce-scatter":
+                w += ent["bytes"] * (n - 1)
+            else:
+                w += ent["bytes"] * (n - 1) / n
+        return w / 1e6
+
+    wire = wire_mb(summ)
+
+    # replicated-DP control at the same shape (the wire ZeRO saves)
+    sbuild = make_sharded_train_step(mesh, loss_fn, trainer.optimizer)
+    sbatch = shard_train_batch(mesh, dict(batch))
+    sstep = sbuild(trainer.state, trainer.opt_state, sbatch)
+    scompiled = sstep.lower(
+        trainer.state, trainer.opt_state, sbatch,
+        jax.random.PRNGKey(0), jnp.float32(0.0),
+    ).compile()
+    swire = wire_mb(hlo_collective_summary(scompiled.as_text()))
+
+    rows = []
+    for name, step_ms in step_ms_points.items():
+        for bw in bw_grid_gbps:
+            t_wire = wire / bw  # MB / (GB/s) = ms
+            rows.append({
+                "step": name,
+                "step_ms": step_ms,
+                "dcn_gbps_per_host": bw,
+                "wire_ms": round(t_wire, 2),
+                "eff_no_overlap": round(step_ms / (step_ms + t_wire), 3),
+                "eff_full_overlap": round(step_ms / max(step_ms, t_wire), 3),
+            })
+    need = {}
+    for name, step_ms in step_ms_points.items():
+        need[name] = {
+            # no overlap: wire/bw <= step*(1/0.85 - 1)
+            "gbps_for_85pct_no_overlap": round(wire / (step_ms * (1 / 0.85 - 1)), 1),
+            # full overlap: wire/bw <= step
+            "gbps_for_85pct_full_overlap": round(wire / step_ms, 1),
+        }
+
+    return {
+        "model": "2-host weak scaling (per-host batch fixed): ZeRO-1 bf16 "
+                 "wire vs measured single-chip step time; occupancy culling "
+                 "does not change the collective payload (params/grads only)",
+        "param_shape": "flagship packed L4/F8 log2T=19 finest=512 shared net",
+        "zero1_collectives_2dev": summ,
+        "zero1_wire_mb_per_host": round(wire, 2),
+        "replicated_dp_wire_mb_per_host": round(swire, 2),
+        "projection": rows,
+        "dcn_gbps_needed_for_85pct": need,
+        "note": "v4/v5 pods provide >=25 GB/s/host DCN (multi-NIC); ICI "
+                "within a host is >1 TB/s aggregate and is not the bottleneck",
+    }
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -337,6 +473,7 @@ if __name__ == "__main__":
         result["collective_volumes"] = collective_volumes(
             max(d for d in a.devices)
         )
+    result["projected_2host"] = project_two_host()
     if a.json_out:
         with open(a.json_out, "w") as f:
             json.dump(result, f, indent=1)

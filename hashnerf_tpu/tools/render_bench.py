@@ -34,7 +34,10 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--chunk", type=int, default=16384)
     p.add_argument("--half_res", action="store_true")
-    p.add_argument("--json-out", default=os.path.join(REPO, "RENDER_r04.json"))
+    p.add_argument("--json-out", default=os.path.join(REPO, "RENDER_r05.json"))
+    p.add_argument("--eval-keeps", default="0.75,0.5,0.375",
+                   help="comma list of --occ_keep_eval budgets to sweep "
+                   "after the exact-eval baseline ('' skips the sweep)")
     a = p.parse_args(argv)
 
     import jax
@@ -105,6 +108,57 @@ def main(argv=None):
             frame_s.append(dt)
         print(f"# frame {j} ({H}x{W}): {dt:.2f}s  PSNR {psnr:.2f}", flush=True)
 
+    # --- eval-accel sweep: loose keep budgets vs the exact baseline ------- #
+    # (VERDICT r4 next #5: exact eval runs at ~0.45x the training rate; a
+    # loose budget on the sharp trained grid must be PSNR-neutral, gated at
+    # <=0.05 dB vs exact.)
+    import dataclasses
+
+    exact_rgbs = {}
+    sweep = []
+    keeps = [float(s) for s in a.eval_keeps.split(",") if s.strip()] \
+        if a.eval_keeps else []
+    if keeps and trainer.render_cfg.occupancy is not None:
+        # exact-eval reference images for the delta gate
+        for idx in list(scene.i_test)[:n_frames]:
+            rgb, _, _, _ = trainer.render_image(scene.poses[idx])
+            exact_rgbs[int(idx)] = np.asarray(rgb)
+        base_cfg = trainer.render_cfg
+        for keep in keeps:
+            trainer.render_cfg = dataclasses.replace(
+                base_cfg,
+                occupancy=dataclasses.replace(
+                    base_cfg.occupancy, keep_fraction_eval=keep
+                ),
+            )
+            k_psnr_gt, k_psnr_vs_exact, k_frame_s = [], [], []
+            for j, idx in enumerate(list(scene.i_test)[:n_frames]):
+                tf = time.time()
+                rgb, _, _, _ = trainer.render_image(scene.poses[idx])
+                rgb = np.asarray(rgb)
+                dt = time.time() - tf
+                if j > 0:  # frame 0 pays the per-budget compile
+                    k_frame_s.append(dt)
+                gt = np.asarray(scene.images[idx])
+                k_psnr_gt.append(float(-10.0 * np.log10(
+                    np.mean(np.square(rgb - gt)))))
+                k_psnr_vs_exact.append(float(-10.0 * np.log10(
+                    np.mean(np.square(rgb - exact_rgbs[int(idx)])) + 1e-12)))
+            spf = float(np.median(k_frame_s)) if k_frame_s else None
+            row = {
+                "keep_eval": keep,
+                "seconds_per_frame": round(spf, 2) if spf else None,
+                "eval_rays_per_s": round(H * W / spf, 1) if spf else None,
+                "test_psnr": round(float(np.mean(k_psnr_gt)), 3),
+                "psnr_delta_vs_exact_db": round(
+                    float(np.mean(k_psnr_gt)) - float(np.mean(psnrs)), 3),
+                "psnr_of_delta_image": round(
+                    float(np.mean(k_psnr_vs_exact)), 1),
+            }
+            sweep.append(row)
+            print(f"# keep_eval={keep}: {row}", flush=True)
+        trainer.render_cfg = base_cfg
+
     out = {
         "metric": "render_frames_per_s",
         "H": H, "W": W,
@@ -121,6 +175,14 @@ def main(argv=None):
         "dataset": os.path.basename(a.datadir),
         "n_train_views": int(len(scene.i_train)),
     }
+    if sweep:
+        out["eval_keep_sweep"] = sweep
+        ok = [r for r in sweep if r["psnr_delta_vs_exact_db"] >= -0.05
+              and r["eval_rays_per_s"]]
+        if ok:
+            best = max(ok, key=lambda r: r["eval_rays_per_s"])
+            out["eval_accel_chosen"] = best
+            out["eval_rays_per_s_accelerated"] = best["eval_rays_per_s"]
     with open(a.json_out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)

@@ -862,6 +862,50 @@ QUALITY_CONFIGS = {
     "r4k_psnr30": {"QB_KEEP": "0.25", "QB_AABB": "1", "QB_NRAND": "1024",
                    "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "128",
                    "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1"},
+    # ---- round 5: erase the equal-iteration dB tax (VERDICT r4 next #2:
+    # >=28.5 dB @1536 at >=85k rays/s). The r4 asym curve LEADS keep25
+    # until the 768 switch, dips -2.7 dB there, ends 1 dB short — so the
+    # levers are a LATER switch (more recovery room; the early 0.25 phase
+    # is a one-off cost, the steady phase is unchanged) and a LOOSER
+    # COARSE budget (coarse drives the fine PDF at 1/3 the encode cost).
+    # Steady-phase flags must stay bench-measurable at >=85k rays/s. ----
+    "r5_late1024": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                    "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                    "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                    "QB_KEEP_COARSE": "0.25",
+                    "QB_KEEP_SCHEDULE": "0:0.5,512:0.25,1024:0.125"},
+    "r5_coarse375": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                     "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                     "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                     "QB_KEEP_COARSE": "0.375",
+                     "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    "r5_c375late": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                    "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                    "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                    "QB_KEEP_COARSE": "0.375",
+                    "QB_KEEP_SCHEDULE": "0:0.5,512:0.25,1024:0.125"},
+    # smoother fine anneal: intermediate 0.1875 phase softens the budget
+    # switch (the r4 curve dipped -2.7 dB at the hard 0.25->0.125 edge)
+    "r5_smooth": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                  "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                  "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                  "QB_KEEP_COARSE": "0.25",
+                  "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.1875,1152:0.125"},
+    # 2x grid-update cadence: a sharper grid picks better samples at the
+    # same keep budget (amortized update cost ~0.3 ms/step at every-8)
+    "r5_update8": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                   "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                   "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                   "QB_KEEP_COARSE": "0.25", "QB_UPDATE_EVERY": "8",
+                   "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # coarse keep 0.5 (32/64 coarse samples): +~0.9 ms over kc=0.25, still
+    # inside the 12.05 ms (>=85k rays/s) budget; the PDF-quality lever at
+    # its loosest useful setting (coarse >=16/64 is the collapse floor)
+    "r5_c50": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+               "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+               "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+               "QB_KEEP_COARSE": "0.5",
+               "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
 }
 
 _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
@@ -869,7 +913,7 @@ _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
             "QB_CHUNK", "QB_VIEWS", "QB_EVALCULL", "QB_DTYPE", "QB_SHARE",
             "QB_OCC", "QB_FASTMERGE", "QB_PARTITION", "QB_ADAPTIVE",
             "QB_KEEP_SCHEDULE", "QB_PERRAY", "QB_KEEP_COARSE", "QB_SELECT",
-            "QB_OCCBLOCK")
+            "QB_OCCBLOCK", "QB_UPDATE_EVERY")
 
 
 def stage_quality(tag):

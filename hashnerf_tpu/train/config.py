@@ -160,6 +160,11 @@ def config_parser() -> argparse.ArgumentParser:
                         "topk (exact lax.top_k), approx (TPU approx_max_k, "
                         "recall ~0.95 — only reallocates budget, never "
                         "breaks compositing)")
+    parser.add_argument("--occ_keep_eval", type=float, default=-1.0,
+                        help="eval-only keep budget (testset/video/render-"
+                        "only): <=0 = exact full evaluation (reference "
+                        "semantics); 0.5-0.75 recovers most of the culling "
+                        "speedup at eval, PSNR-delta-gated in RENDER_r05")
     parser.add_argument("--occ_keep_schedule", type=str, default=None,
                         help="annealed keep budget: 'STEP:FRAC,STEP:FRAC,...'"
                         " — from each STEP on, use FRAC (e.g. "

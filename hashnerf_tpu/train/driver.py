@@ -78,6 +78,10 @@ def render_config_from_args(args, ndc: bool = False, lindisp: bool = False) -> R
                 kc if (kc := getattr(args, "occ_keep_coarse", -1.0)) > 0
                 else None
             ),
+            keep_fraction_eval=(
+                ke if (ke := getattr(args, "occ_keep_eval", -1.0)) > 0
+                else None
+            ),
         )
         # --occ_block must divide both passes' sample counts AND 128 (the
         # keep budget is rounded up to a multiple of 128, so 128 % block == 0
@@ -953,8 +957,14 @@ class Trainer:
     @property
     def _eval_occ_grid(self):
         """Occupancy grid for eval-time culling (only once populated —
-        --use_occupancy opts into the budgeted-culling semantics)."""
-        if self.eval_cull and self.render_cfg.occupancy is not None and self._occ_ready:
+        --use_occupancy opts into the budgeted-culling semantics). Enabled
+        by the legacy eval_cull switch (train budgets at eval) OR by
+        --occ_keep_eval (dedicated loose eval budget, see
+        RenderConfig.eval_mode)."""
+        occ = self.render_cfg.occupancy
+        if occ is None or not self._occ_ready:
+            return None
+        if self.eval_cull or occ.keep_fraction_eval is not None:
             return self.occ_grid
         return None
 

@@ -117,6 +117,48 @@ def test_tv_all_levels_matches_per_level():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_eval_keep_budget(scene):
+    """--occ_keep_eval: eval renders use the LOOSE eval-only budget (not the
+    training budgets) once the grid is populated; maps stay finite and close
+    to the exact eval (VERDICT r4 next #5, PSNR-neutral eval accelerator)."""
+    import jax.numpy as jnp
+
+    args = tiny_args(
+        use_occupancy=True, occ_resolution=32, occ_update_every=4,
+        occ_warmup=8, occ_keep_fraction=0.25, occ_keep_coarse=0.5,
+        occ_block=8, N_samples=16, N_importance=16,
+    )
+    args.occ_keep_eval = 0.75
+    trainer = Trainer(args, scene)
+    ecfg = trainer.render_cfg.eval_mode().occupancy
+    assert ecfg.keep_fraction == 0.75 and ecfg.keep_fraction_coarse is None
+
+    rng = np.random.default_rng(0)
+    for _ in range(16):
+        img_i = int(rng.choice(scene.i_train))
+        trainer.step(trainer.sample_image(img_i, args.N_rand, precrop=False))
+    assert trainer._occ_ready
+    assert trainer._eval_occ_grid is not None
+
+    pose = scene.poses[scene.i_test[0]]
+    rgb_budget, depth_b, _, _ = trainer.render_image(pose)
+    assert np.all(np.isfinite(np.asarray(rgb_budget)))
+
+    # exact-eval control: same field, no eval grid
+    import dataclasses
+
+    saved = trainer.render_cfg
+    trainer.render_cfg = dataclasses.replace(
+        saved,
+        occupancy=dataclasses.replace(saved.occupancy, keep_fraction_eval=None),
+    )
+    rgb_exact, _, _, _ = trainer.render_image(pose)
+    trainer.render_cfg = saved
+    # loose budget on a (briefly) trained field: images nearly identical
+    mse = float(np.mean(np.square(np.asarray(rgb_budget) - np.asarray(rgb_exact))))
+    assert mse < 5e-3, f"eval budget diverged from exact: mse {mse}"
+
+
 def test_debug_check_finite(capsys):
     import jax.numpy as jnp
     from hashnerf_tpu.utils.debug import check_finite
