@@ -91,12 +91,12 @@ def build_trainer():
         args.share_fine = True
         args.compute_dtype = "bfloat16"
         args.use_occupancy = True
-        # Round-4 flagship budgets (block-8 GLOBAL culling, asymmetric):
-        # coarse keeps 0.25 (it drives the fine PDF; its encode is ~1/3 of
-        # fine's), fine runs the annealed schedule's steady-state 0.125.
-        # Quality at these exact flags: BENCH_QUALITY_r4b_asym1024 (27.99 dB
-        # @1536, 30 dB at iter 3045 = 32.9 s of steady stepping — vs 838 s
-        # for TPU reference-exact parity, BENCH_QUALITY_r4_parity2k).
+        # Round-5 flagship budgets (block-8 GLOBAL culling, asymmetric):
+        # coarse keeps 0.375 (it drives the fine PDF; its encode is ~1/3 of
+        # fine's — r5 measured +0.9 dB over coarse 0.25 for ~+0.4 ms), fine
+        # runs the annealed schedule's steady-state 0.125. Quality at these
+        # exact steady flags: BENCH_QUALITY_r5_c375late (28.88 dB @1536 at
+        # 11.2 ms/step; anneal 0.5 -> 0.25@512 -> 0.125@1024).
         args.occ_keep_fraction = float(os.environ.get("BENCH_KEEP", "0.125"))
         args.occ_warmup = 8
         args.aabb_clip = True
@@ -110,7 +110,7 @@ def build_trainer():
         args.occ_partition = os.environ.get("BENCH_PARTITION", "sort1")
         args.occ_per_ray = bool(int(os.environ.get("BENCH_PERRAY", "0")))
         args.occ_block = int(os.environ.get("BENCH_OCC_BLOCK", "8"))
-        kc = float(os.environ.get("BENCH_KEEP_COARSE", "0.25"))
+        kc = float(os.environ.get("BENCH_KEEP_COARSE", "0.375"))
         if kc > 0:
             args.occ_keep_coarse = kc
         args.occ_per_ray_select = os.environ.get("BENCH_SELECT", "sort")

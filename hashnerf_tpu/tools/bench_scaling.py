@@ -445,6 +445,111 @@ def project_two_host(step_ms_points=None, bw_grid_gbps=(6.25, 12.5, 25, 50, 100)
     }
 
 
+def tpu_topology_check():
+    """AOT-compile the FLAGSHIP ZeRO-1 step for a real TPU topology
+    (v5e:2x2, deviceless PJRT compile — no chips needed) and report where
+    the collectives sit in the compiled TPU schedule.
+
+    Two facts this pins down (VERDICT r4 next #3, the overlap evidence):
+      * the multi-chip program COMPILES FOR TPU, not just the CPU virtual
+        mesh (different backend, different layout/fusion pipeline);
+      * the param all-gathers sit near the TOP of the schedule and the grad
+        reduce-scatters near the END, with the forward/backward compute
+        between them — the structural window the TPU runtime's async DMA
+        engine can overlap. (TPU post-opt HLO keeps collectives as single
+        ops — async -start/-done decomposition is below HLO on this
+        backend, so pair-counting, meaningful on GPU, cannot apply here;
+        position-in-schedule is the strongest compile-time witness.)
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import topologies
+    from jax.sharding import Mesh
+
+    from hashnerf_tpu.data.synthetic import make_synthetic_scene
+    from hashnerf_tpu.train.config import config_parser
+    from hashnerf_tpu.train.driver import Trainer, make_loss_fn
+    from hashnerf_tpu.parallel.train_sharded import (
+        init_dp_zero, make_dp_zero_train_step,
+    )
+
+    try:
+        topo = topologies.get_topology_desc(
+            platform="tpu", topology_name="v5e:2x2x1"
+        )
+    except Exception as e:  # no libtpu compiler in this environment
+        return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+
+    devices = np.array(topo.devices)[:2]
+    mesh = Mesh(devices, axis_names=("data",))
+    args = _flagship_args(config_parser)
+    scene = make_synthetic_scene(H=64, W=64, n_train=4, n_test=1)
+    trainer = Trainer(args, scene)
+    loss_fn = make_loss_fn(
+        args, trainer.render_cfg, trainer.query_fn, trainer.bbox,
+        trainer.model_cfg.hash_grid, with_tv=False,
+    )
+    from hashnerf_tpu.parallel.train_sharded import chunk_params
+
+    build = make_dp_zero_train_step(mesh, loss_fn, trainer.optimizer)
+    # abstract shards only — topology devices are non-addressable, so no
+    # real device_put (init_dp_zero) is possible; AOT lowers from avals
+    master_t = jax.eval_shape(lambda s: chunk_params(s, 2), trainer.state)
+    zopt_t = jax.eval_shape(trainer.optimizer.init, master_t)
+    zstep = build(trainer.state, zopt_t)
+    batch = trainer.sample_image(0, args.N_rand, precrop=False)
+    d = batch["rays_d"]
+    batch["viewdirs"] = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    batch_t = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), dict(batch)
+    )
+    key_t = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    import time as _t
+
+    t0 = _t.time()
+    compiled = zstep.lower(
+        master_t, zopt_t, batch_t, key_t,
+        jax.ShapeDtypeStruct((), jnp.float32),
+    ).compile()
+    txt = compiled.as_text()
+    lines = txt.splitlines()
+    # positions of collectives within the entry computation's schedule
+    entry = []
+    in_entry = False
+    for ln in lines:
+        if ln.startswith("ENTRY "):
+            in_entry = True
+            continue
+        if in_entry:
+            if ln.startswith("}"):
+                break
+            entry.append(ln)
+    n = len(entry)
+    pos = {"all-gather": [], "reduce-scatter": [], "all-reduce": []}
+    for i, ln in enumerate(entry):
+        for kind in pos:
+            if re.search(rf"\b{kind}(-start)?\(", ln):
+                pos[kind].append(round(i / max(n - 1, 1), 3))
+    return {
+        "ok": True,
+        "topology": "v5e:2x2 (deviceless AOT compile)",
+        "compile_s": round(_t.time() - t0, 1),
+        "hlo_mb": round(len(txt) / 1e6, 2),
+        "entry_instructions": n,
+        "collective_positions_0to1": pos,
+        # (byte accounting intentionally omitted here: TPU HLO text carries
+        # tiled-layout annotations the shape regex does not parse; wire
+        # bytes come from the CPU-partitioned HLO in project_two_host,
+        # which lowers the same collectives)
+        "note": "TPU post-opt HLO keeps collectives as single synchronous-"
+                "looking ops; async DMA scheduling is below HLO on this "
+                "backend, so -start/-done pair counting does not apply — "
+                "position-in-schedule is the compile-time witness for the "
+                "all-gather-early / reduce-scatter-late overlap structure.",
+    }
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -474,6 +579,7 @@ if __name__ == "__main__":
             max(d for d in a.devices)
         )
     result["projected_2host"] = project_two_host()
+    result["tpu_aot_2chip_check"] = tpu_topology_check()
     if a.json_out:
         with open(a.json_out, "w") as f:
             json.dump(result, f, indent=1)

@@ -906,6 +906,19 @@ QUALITY_CONFIGS = {
                "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
                "QB_KEEP_COARSE": "0.5",
                "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # round-5 FLAGSHIP long run (the r5_c375late winner: coarse 0.375,
+    # late anneal): iters/seconds-to-30dB at the shipping flags
+    "r5_psnr30": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                  "QB_PACKED": "1", "QB_ITERS": "6144", "QB_BLOCK": "128",
+                  "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                  "QB_KEEP_COARSE": "0.375",
+                  "QB_KEEP_SCHEDULE": "0:0.5,512:0.25,1024:0.125"},
+    # flagship flags on the hard multi-object scene
+    "r5_multi": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                 "QB_PACKED": "1", "QB_ITERS": "2048", "QB_BLOCK": "128",
+                 "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                 "QB_KEEP_COARSE": "0.375", "QB_SCENE": "multi",
+                 "QB_KEEP_SCHEDULE": "0:0.5,512:0.25,1024:0.125"},
 }
 
 _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
