@@ -77,6 +77,23 @@ class OccupancyConfig:
     # sharp trained grid recovers most of the culling speedup while staying
     # PSNR-neutral (gated by the measured delta-vs-exact in RENDER_r05).
     keep_fraction_eval: Optional[float] = None
+    # Eval-only COARSE budget override (None = keep_fraction_eval for both
+    # passes). The same asymmetry as training: the coarse pass drives the
+    # fine PDF, so at eval a LOOSE coarse + tight fine beats a flat budget
+    # (flat 0.375 measured -0.81 dB — eval-side coarse starvation — while
+    # the asymmetric split holds the delta near zero, RENDER_r05).
+    keep_fraction_eval_coarse: Optional[float] = None
+    # Transmittance-weighted FINE culling at eval (RenderConfig.eval_mode
+    # flips transmittance_cull on when this is set): the density score
+    # cannot see ray order, so a tight budget wastes keeps on dense cells
+    # BEHIND the first surface (measured: fine keep 0.375 costs -0.8 dB at
+    # eval regardless of the coarse budget). Weighting each fine sample's
+    # score by the coarse pass's transmittance at its depth (carried through
+    # the z merge as a third sort operand + a cumulative min — T is
+    # non-increasing along the ray) reallocates the budget to VISIBLE
+    # samples, the static-shape equivalent of early ray termination.
+    eval_transmittance: bool = False
+    transmittance_cull: bool = False  # set by eval_mode, not by users
     # GLOBAL culling granularity in consecutive samples (must divide both
     # N_samples and N_samples+N_importance). block=8 keeps the global
     # budget's cross-ray reallocation (measured worth ~2.3 dB over per-ray

@@ -62,7 +62,8 @@ class RenderConfig:
                 occupancy=dataclasses.replace(
                     occ,
                     keep_fraction=occ.keep_fraction_eval,
-                    keep_fraction_coarse=None,
+                    keep_fraction_coarse=occ.keep_fraction_eval_coarse,
+                    transmittance_cull=occ.eval_transmittance,
                 ),
             )
         return cfg
@@ -210,11 +211,37 @@ def render_rays(
             )
             z_samples = jax.lax.stop_gradient(z_samples)
             s_new = score_z(z_samples)
-            z_vals, scores_f = jax.lax.sort(
-                (jnp.concatenate([z_vals, z_samples], -1),
-                 jnp.concatenate([scores_c, s_new], -1)),
-                dimension=-1, num_keys=1,
-            )
+            z_cat = jnp.concatenate([z_vals, z_samples], -1)
+            s_cat = jnp.concatenate([scores_c, s_new], -1)
+            if cfg.occupancy.transmittance_cull:
+                # Early-ray-termination as score weighting (eval only):
+                # T_i = 1 - sum_{j<i} w_j at each coarse sample (the exact
+                # zero-fill transmittance), +inf at new samples; after the
+                # z-keyed sort a cumulative min forward-fills each sample
+                # with the T of the latest coarse sample at or before it
+                # (T is non-increasing along the ray). Density scores of
+                # occluded samples shrink toward 0, so the static keep
+                # budget reallocates to VISIBLE samples.
+                cw = jnp.cumsum(w_full, axis=-1)
+                t_coarse = 1.0 - jnp.concatenate(
+                    [jnp.zeros_like(cw[..., :1]), cw[..., :-1]], -1
+                )
+                payload = jnp.concatenate(
+                    [t_coarse, jnp.full_like(z_samples, jnp.inf)], -1
+                )
+                z_vals, scores_f, t_pay = jax.lax.sort(
+                    (z_cat, s_cat, payload), dimension=-1, num_keys=1
+                )
+                t_fill = jnp.minimum(
+                    jax.lax.cummin(t_pay, axis=t_pay.ndim - 1), 1.0
+                )
+                scores_f = jnp.where(
+                    scores_f > 0, scores_f * t_fill, scores_f
+                )
+            else:
+                z_vals, scores_f = jax.lax.sort(
+                    (z_cat, s_cat), dimension=-1, num_keys=1,
+                )
             out, _, raw = march(z_vals, k_noise1, fine=True, scores=scores_f)
             ret["z_std"] = jnp.std(z_samples, axis=-1)
         elif cfg.fast_merge:

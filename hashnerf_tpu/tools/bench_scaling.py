@@ -573,6 +573,10 @@ if __name__ == "__main__":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_test_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     result = {"timing_virtual_mesh": measure(a.devices, a.n_rand, a.iters)}
     if not a.skip_volumes:
         result["collective_volumes"] = collective_volumes(

@@ -116,19 +116,35 @@ def main(argv=None):
 
     exact_rgbs = {}
     sweep = []
-    keeps = [float(s) for s in a.eval_keeps.split(",") if s.strip()] \
-        if a.eval_keeps else []
+    # item syntax: "0.5" (both passes) or "coarse:fine" (asymmetric eval
+    # budget — loose coarse drives the fine PDF, same as training)
+    keeps = []
+    if a.eval_keeps:
+        for s in a.eval_keeps.split(","):
+            s = s.strip()
+            if not s:
+                continue
+            trans = s.startswith("t")  # "t0.5:0.25" = transmittance-weighted
+            if trans:
+                s = s[1:]
+            if ":" in s:
+                c, f = s.split(":")
+                keeps.append((float(c), float(f), trans))
+            else:
+                keeps.append((None, float(s), trans))
     if keeps and trainer.render_cfg.occupancy is not None:
         # exact-eval reference images for the delta gate
         for idx in list(scene.i_test)[:n_frames]:
             rgb, _, _, _ = trainer.render_image(scene.poses[idx])
             exact_rgbs[int(idx)] = np.asarray(rgb)
         base_cfg = trainer.render_cfg
-        for keep in keeps:
+        for keep_c, keep, trans in keeps:
             trainer.render_cfg = dataclasses.replace(
                 base_cfg,
                 occupancy=dataclasses.replace(
-                    base_cfg.occupancy, keep_fraction_eval=keep
+                    base_cfg.occupancy, keep_fraction_eval=keep,
+                    keep_fraction_eval_coarse=keep_c,
+                    eval_transmittance=trans,
                 ),
             )
             k_psnr_gt, k_psnr_vs_exact, k_frame_s = [], [], []
@@ -147,6 +163,8 @@ def main(argv=None):
             spf = float(np.median(k_frame_s)) if k_frame_s else None
             row = {
                 "keep_eval": keep,
+                "keep_eval_coarse": keep_c,
+                "transmittance": trans,
                 "seconds_per_frame": round(spf, 2) if spf else None,
                 "eval_rays_per_s": round(H * W / spf, 1) if spf else None,
                 "test_psnr": round(float(np.mean(k_psnr_gt)), 3),

@@ -165,6 +165,14 @@ def config_parser() -> argparse.ArgumentParser:
                         "only): <=0 = exact full evaluation (reference "
                         "semantics); 0.5-0.75 recovers most of the culling "
                         "speedup at eval, PSNR-delta-gated in RENDER_r05")
+    parser.add_argument("--occ_keep_eval_coarse", type=float, default=-1.0,
+                        help="eval-only COARSE keep budget (<=0 = use "
+                        "--occ_keep_eval for both passes); a loose coarse + "
+                        "tight fine is the measured-best eval split")
+    parser.add_argument("--occ_eval_transmittance", action="store_true",
+                        help="weight eval-time fine culling scores by the "
+                        "coarse pass's transmittance (static-shape early "
+                        "ray termination: budget goes to VISIBLE samples)")
     parser.add_argument("--occ_keep_schedule", type=str, default=None,
                         help="annealed keep budget: 'STEP:FRAC,STEP:FRAC,...'"
                         " — from each STEP on, use FRAC (e.g. "

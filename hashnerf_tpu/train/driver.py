@@ -82,6 +82,11 @@ def render_config_from_args(args, ndc: bool = False, lindisp: bool = False) -> R
                 ke if (ke := getattr(args, "occ_keep_eval", -1.0)) > 0
                 else None
             ),
+            keep_fraction_eval_coarse=(
+                kec if (kec := getattr(args, "occ_keep_eval_coarse", -1.0)) > 0
+                else None
+            ),
+            eval_transmittance=getattr(args, "occ_eval_transmittance", False),
         )
         # --occ_block must divide both passes' sample counts AND 128 (the
         # keep budget is rounded up to a multiple of 128, so 128 % block == 0
