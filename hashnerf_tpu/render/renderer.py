@@ -214,14 +214,19 @@ def render_rays(
             z_cat = jnp.concatenate([z_vals, z_samples], -1)
             s_cat = jnp.concatenate([scores_c, s_new], -1)
             if cfg.occupancy.transmittance_cull:
-                # Early-ray-termination as score weighting (eval only):
+                # Early-ray-termination as a score THRESHOLD (eval only):
                 # T_i = 1 - sum_{j<i} w_j at each coarse sample (the exact
                 # zero-fill transmittance), +inf at new samples; after the
                 # z-keyed sort a cumulative min forward-fills each sample
                 # with the T of the latest coarse sample at or before it
-                # (T is non-increasing along the ray). Density scores of
-                # occluded samples shrink toward 0, so the static keep
-                # budget reallocates to VISIBLE samples.
+                # (T is non-increasing along the ray). Samples with
+                # T < 1e-3 contribute <0.1% to the composite — demote them
+                # below every live score so the keep budget reallocates to
+                # VISIBLE samples. NOTE a hard threshold, not proportional
+                # weighting: score*T was measured -2.3 dB at keep 0.375 —
+                # it steals budget from the partially-transmitting interior
+                # samples that absorb residual T, and with white_bkgd the
+                # un-absorbed remainder leaks background into surface rays.
                 cw = jnp.cumsum(w_full, axis=-1)
                 t_coarse = 1.0 - jnp.concatenate(
                     [jnp.zeros_like(cw[..., :1]), cw[..., :-1]], -1
@@ -232,11 +237,9 @@ def render_rays(
                 z_vals, scores_f, t_pay = jax.lax.sort(
                     (z_cat, s_cat, payload), dimension=-1, num_keys=1
                 )
-                t_fill = jnp.minimum(
-                    jax.lax.cummin(t_pay, axis=t_pay.ndim - 1), 1.0
-                )
+                t_fill = jax.lax.cummin(t_pay, axis=t_pay.ndim - 1)
                 scores_f = jnp.where(
-                    scores_f > 0, scores_f * t_fill, scores_f
+                    (t_fill < 1e-3) & (scores_f > 0), 0.0, scores_f
                 )
             else:
                 z_vals, scores_f = jax.lax.sort(
