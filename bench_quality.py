@@ -93,7 +93,10 @@ def main():
         H=128, W=128, n_train=int(os.environ.get("QB_VIEWS", "64")), n_test=2,
         scene=os.environ.get("QB_SCENE", "sphere"),
     )
-    trainer = Trainer(args, scene)
+    # QB_SEED: init + sampling RNG (cross-seed noise quantification; the
+    # default 0 reproduces every earlier curve)
+    seed = int(os.environ.get("QB_SEED", "0"))
+    trainer = Trainer(args, scene, key=jax.random.PRNGKey(seed))
     trainer.eval_cull = bool(int(os.environ.get("QB_EVALCULL", "0")))
 
     curve = []
@@ -182,6 +185,7 @@ def main():
         "steady_rays_per_s": (round(args.N_rand / steady_step_s, 1)
                               if steady_step_s else None),
         "mode": tag or ("parity" if os.environ.get("QB_PARITY") else "tpu-fast"),
+        "seed": seed,
         "N_rand": args.N_rand,
         "scene": os.environ.get("QB_SCENE", "sphere"),
         "packed": bool(getattr(args, "packed_layout", False)),

@@ -45,7 +45,7 @@ OUT_REF = os.path.join(REPO, "PARITY_CURVE_ref.json")
 OUT_OURS = os.path.join(REPO, "PARITY_CURVE_ours.json")
 OUT = os.path.join(REPO, "PARITY_CURVE.json")
 
-N_ITERS = 640
+N_ITERS = int(os.environ.get("PARITY_ITERS", "640"))
 MILESTONE = 64
 HW = 100
 

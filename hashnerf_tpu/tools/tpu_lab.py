@@ -919,6 +919,29 @@ QUALITY_CONFIGS = {
                  "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
                  "QB_KEEP_COARSE": "0.375", "QB_SCENE": "multi",
                  "QB_KEEP_SCHEDULE": "0:0.5,512:0.25,1024:0.125"},
+    # seed replicas of the flagship curve (error bars on the 28.88 claim)
+    "r5_c375late_s1": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                       "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                       "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                       "QB_KEEP_COARSE": "0.375", "QB_SEED": "1",
+                       "QB_KEEP_SCHEDULE": "0:0.5,512:0.25,1024:0.125"},
+    "r5_c375late_s2": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                       "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                       "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                       "QB_KEEP_COARSE": "0.375", "QB_SEED": "2",
+                       "QB_KEEP_SCHEDULE": "0:0.5,512:0.25,1024:0.125"},
+    # PAIRED r4-flagship seed replicas (same seeds as r5_c375late_s*):
+    # endpoint noise is ~±1.5 dB, so the r5-vs-r4 claim is made seed-paired
+    "r4b_asym1024_s1": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                        "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                        "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                        "QB_KEEP_COARSE": "0.25", "QB_SEED": "1",
+                        "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    "r4b_asym1024_s2": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                        "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                        "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                        "QB_KEEP_COARSE": "0.25", "QB_SEED": "2",
+                        "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
 }
 
 _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
@@ -926,7 +949,7 @@ _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
             "QB_CHUNK", "QB_VIEWS", "QB_EVALCULL", "QB_DTYPE", "QB_SHARE",
             "QB_OCC", "QB_FASTMERGE", "QB_PARTITION", "QB_ADAPTIVE",
             "QB_KEEP_SCHEDULE", "QB_PERRAY", "QB_KEEP_COARSE", "QB_SELECT",
-            "QB_OCCBLOCK", "QB_UPDATE_EVERY")
+            "QB_OCCBLOCK", "QB_UPDATE_EVERY", "QB_SEED")
 
 
 def stage_quality(tag):
