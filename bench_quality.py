@@ -89,8 +89,12 @@ def main():
     # 64 train views (QB_VIEWS): the reference's quality protocol trains on
     # 100 views per blender scene; 16 views leaves multi-object scenes
     # view-starved (observed: train 32.8 dB / test 11.5 dB on "multi").
+    # QB_NTEST: milestone PSNR averages over this many held-out views — the
+    # seed-replica study measured ±1.5 dB single-milestone noise at the
+    # 2-view default; 8 views quarters the eval variance (4x eval cost)
     scene = make_synthetic_scene(
-        H=128, W=128, n_train=int(os.environ.get("QB_VIEWS", "64")), n_test=2,
+        H=128, W=128, n_train=int(os.environ.get("QB_VIEWS", "64")),
+        n_test=int(os.environ.get("QB_NTEST", "2")),
         scene=os.environ.get("QB_SCENE", "sphere"),
     )
     # QB_SEED: init + sampling RNG (cross-seed noise quantification; the

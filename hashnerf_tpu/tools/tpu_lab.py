@@ -942,6 +942,22 @@ QUALITY_CONFIGS = {
                         "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
                         "QB_KEEP_COARSE": "0.25", "QB_SEED": "2",
                         "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # low-noise head-to-head: 8 held-out views (4x less eval variance than
+    # the 2-view protocol) — the definitive r5-vs-r4 flagship comparison
+    "r5_c375late_t8": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                       "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                       "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                       "QB_KEEP_COARSE": "0.375", "QB_NTEST": "8",
+                       "QB_KEEP_SCHEDULE": "0:0.5,512:0.25,1024:0.125"},
+    "r4b_asym1024_t8": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                        "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                        "QB_OCCBLOCK": "8", "QB_ADAPTIVE": "1",
+                        "QB_KEEP_COARSE": "0.25", "QB_NTEST": "8",
+                        "QB_KEEP_SCHEDULE": "0:0.5,384:0.25,768:0.125"},
+    # unculled control at 8 views (the ceiling the culled configs chase)
+    "r5_noocc_t8": {"QB_AABB": "1", "QB_NRAND": "1024", "QB_PACKED": "1",
+                    "QB_ITERS": "1536", "QB_BLOCK": "128", "QB_OCC": "0",
+                    "QB_NTEST": "8"},
 }
 
 _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
@@ -949,7 +965,7 @@ _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
             "QB_CHUNK", "QB_VIEWS", "QB_EVALCULL", "QB_DTYPE", "QB_SHARE",
             "QB_OCC", "QB_FASTMERGE", "QB_PARTITION", "QB_ADAPTIVE",
             "QB_KEEP_SCHEDULE", "QB_PERRAY", "QB_KEEP_COARSE", "QB_SELECT",
-            "QB_OCCBLOCK", "QB_UPDATE_EVERY", "QB_SEED")
+            "QB_OCCBLOCK", "QB_UPDATE_EVERY", "QB_SEED", "QB_NTEST")
 
 
 def stage_quality(tag):
