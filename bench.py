@@ -117,6 +117,10 @@ def build_trainer():
         args.occ_adaptive_update = bool(
             int(os.environ.get("BENCH_ADAPTIVE", "1"))
         )
+        # strided dilated-grid scoring: MEASURED LOSS (87.1k vs 92.5k at
+        # stride 2 — dilation overhead exceeds the fetch savings); default
+        # off, kept as a committed negative result
+        args.occ_score_stride = int(os.environ.get("BENCH_SCORE_STRIDE", "1"))
         # N_rand=1024: the REFERENCE's exact batch (honest vs_baseline), the
         # best measured per-iteration convergence (r1fast curve family), AND
         # the best measured rays/s under the packed layout (tpu_lab variants:

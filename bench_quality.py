@@ -73,6 +73,7 @@ def main():
         args.occ_per_ray_select = os.environ.get("QB_SELECT", "sort")
         args.occ_block = int(os.environ.get("QB_OCCBLOCK", "1"))
         args.occ_update_every = int(os.environ.get("QB_UPDATE_EVERY", "16"))
+        args.occ_score_stride = int(os.environ.get("QB_SCORE_STRIDE", "1"))
         sched = os.environ.get("QB_KEEP_SCHEDULE", "")
         if sched:
             args.occ_keep_schedule = sched

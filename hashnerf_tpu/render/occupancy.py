@@ -94,6 +94,14 @@ class OccupancyConfig:
     # samples, the static-shape equivalent of early ray termination.
     eval_transmittance: bool = False
     transmittance_cull: bool = False  # set by eval_mode, not by users
+    # Score every k-th sample on a 3^3-dilated grid instead of every sample
+    # (occupancy_scores_strided): k=2 halves the score-gather volume.
+    # MEASURED AS A LOSS on v5e (87.1k vs 92.5k rays/s at the r5 flagship
+    # flags): the reduce_window dilation + repeat/realign overhead exceeds
+    # the fetch savings — the score gather rides the same latency-hiding
+    # window as the encode gather, so halving its COUNT buys nothing while
+    # adding VPU work. Kept opt-in as a committed negative result.
+    score_stride: int = 1
     # GLOBAL culling granularity in consecutive samples (must divide both
     # N_samples and N_samples+N_importance). block=8 keeps the global
     # budget's cross-ray reallocation (measured worth ~2.3 dB over per-ray
@@ -134,6 +142,47 @@ def occupancy_lookup(
     idx = _cell_index(pts, bbox, cfg.resolution)
     thr = jnp.minimum(cfg.threshold, jnp.mean(grid))
     return jnp.take(grid, idx) > thr
+
+
+def dilate_grid(grid: jnp.ndarray, R: int) -> jnp.ndarray:
+    """3^3 max-pool (stride 1, SAME) of the flat (R^3,) grid.
+
+    Used by strided scoring: probing every k-th sample on the DILATED grid
+    is a conservative, hole-free approximation of per-sample scoring as
+    long as consecutive probes are <= 2 cells apart (each probe's +-1-cell
+    halo then tiles the ray segment). Pure reshaped reduce_window — ~0.1 ms
+    at R=128, recomputed inside the step (no second grid in the state)."""
+    g = grid.reshape(R, R, R)
+    g = jax.lax.reduce_window(
+        g, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    return g.reshape(-1)
+
+
+def occupancy_scores_strided(
+    grid_dilated: jnp.ndarray,
+    pts: jnp.ndarray,  # (R, S, 3) ray-ordered sample points
+    bbox: jnp.ndarray,
+    cfg: OccupancyConfig,
+) -> jnp.ndarray:
+    """(R, S) scores from 1 dilated-grid fetch per score_stride samples.
+
+    The score gather is ~30% of the train step's row fetches (192/ray vs
+    192 encode fetches at the flagship budgets); probing every k-th sample
+    on the 3^3-dilated grid halves it at k=2 while keeping coverage exact
+    (consecutive samples are ~0.8 cells apart at chair shapes, so probes
+    sit ~1.7 cells apart, inside the 2-cell halo bound). Out-of-bbox
+    samples still score -1 per-sample (pure arithmetic, no fetch); probes
+    are clamped into the bbox so their cell index is always valid."""
+    Rr, S = pts.shape[0], pts.shape[1]
+    st = cfg.score_stride
+    idx = jnp.arange(0, S, st)
+    probes = jnp.clip(pts[:, idx], bbox[0], bbox[1])  # (Rr, P, 3)
+    cell = _cell_index(probes.reshape(-1, 3), bbox, cfg.resolution)
+    s_p = jnp.take(grid_dilated, cell).reshape(Rr, idx.shape[0])
+    s_full = jnp.repeat(s_p, st, axis=1)[:, :S]
+    in_bbox = jnp.all((pts >= bbox[0]) & (pts <= bbox[1]), axis=-1)
+    return jnp.where(in_bbox, s_full, -1.0)
 
 
 def occupancy_scores(

@@ -124,11 +124,24 @@ def render_rays(
         def run_query(st, p, vd, bb, fine, scores=None):
             return query_fn(st, p, vd, bb, fine=fine)
 
+    occ_grid_dilated = None
+    if use_occ and cfg.occupancy.score_stride > 1:
+        from hashnerf_tpu.render.occupancy import dilate_grid
+
+        occ_grid_dilated = dilate_grid(occ_grid, cfg.occupancy.resolution)
+
     def score_z(z):
         """Occupancy score of every sample point at depths z (R, S)."""
-        from hashnerf_tpu.render.occupancy import occupancy_scores
+        from hashnerf_tpu.render.occupancy import (
+            occupancy_scores,
+            occupancy_scores_strided,
+        )
 
         p = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        if occ_grid_dilated is not None:
+            return occupancy_scores_strided(
+                occ_grid_dilated, p, bbox, cfg.occupancy
+            )
         return occupancy_scores(
             occ_grid, p.reshape(-1, 3), bbox, cfg.occupancy
         ).reshape(z.shape)

@@ -169,6 +169,10 @@ def config_parser() -> argparse.ArgumentParser:
                         help="eval-only COARSE keep budget (<=0 = use "
                         "--occ_keep_eval for both passes); a loose coarse + "
                         "tight fine is the measured-best eval split")
+    parser.add_argument("--occ_score_stride", type=int, default=1,
+                        help="score every k-th sample on a 3^3-dilated "
+                        "occupancy grid (k=2 halves the score-gather "
+                        "fetches; conservative coverage, quality-gated)")
     parser.add_argument("--occ_eval_transmittance", action="store_true",
                         help="weight eval-time fine culling scores by the "
                         "coarse pass's transmittance (static-shape early "

@@ -87,6 +87,7 @@ def render_config_from_args(args, ndc: bool = False, lindisp: bool = False) -> R
                 else None
             ),
             eval_transmittance=getattr(args, "occ_eval_transmittance", False),
+            score_stride=getattr(args, "occ_score_stride", 1),
         )
         # --occ_block must divide both passes' sample counts AND 128 (the
         # keep budget is rounded up to a multiple of 128, so 128 % block == 0
