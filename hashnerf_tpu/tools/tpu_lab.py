@@ -17,7 +17,7 @@ Stages:
     variants        amortized rays/s for flagship config variants
     variants4       round-4 lever A/B (partition modes, fast_merge,
                     adaptive updates, keep=0.125)
-    ledger          roofline ledger (PROFILE_r04.md): scan-amortized phase
+    ledger          roofline ledger (PROFILE_r05.md): scan-amortized phase
                     times vs measured primitive ceilings
     bench           repo-root bench.py (writes the JSON line)
     quality:TAG     PSNR curve; TAG in QUALITY_CONFIGS below
@@ -335,7 +335,10 @@ def stage_pprofile():
     occ_cfg = cfg.occupancy
     for S, tag in ((args.N_samples, "coarse"), (args.N_samples + args.N_importance, "fine")):
         n = R * S
-        k = min(n, -(-int(n * occ_cfg.keep_fraction) // 128) * 128)
+        kf = occ_cfg.keep_fraction
+        if tag == "coarse" and occ_cfg.keep_fraction_coarse is not None:
+            kf = occ_cfg.keep_fraction_coarse
+        k = min(n, -(-int(n * kf) // 128) * 128)
         pts = jax.random.uniform(key, (n, 3), minval=-1.4, maxval=1.4)
         f = jax.jit(lambda g, p: cull_points(occupancy_scores(g, p, bbox, occ_cfg), k))
         log(f"score+cull {tag} ({n/1e3:.0f}k): {timeit(f, occ_grid, pts):8.1f} ms")
@@ -485,7 +488,7 @@ def stage_ledger():
     """Roofline ledger for the flagship step (VERDICT r3 #7): each phase at
     true shapes, AMORTIZED inside one lax.scan (K reps chained through the
     carry so XLA cannot hoist the body), against its measured primitive
-    ceiling. Writes PROFILE_r04.md."""
+    ceiling. Writes PROFILE_r05.md."""
     import jax
     import jax.numpy as jnp
 
@@ -518,7 +521,11 @@ def stage_ledger():
 
     from hashnerf_tpu.train.driver import Trainer
 
-    args = bench_args(aabb_clip=True, packed_layout=True, fast_merge=True)
+    # round-5 flagship flags (bench.py defaults): block-8 global culling,
+    # coarse keep 0.375 / fine 0.125, adaptive updates
+    args = bench_args(aabb_clip=True, packed_layout=True, occ_block=8,
+                      occ_keep_fraction=0.125, occ_keep_coarse=0.375,
+                      occ_adaptive_update=True)
     tr = Trainer(args, _scene())
     tr.global_step = 1001
     float(tr.run_steps(32, block_size=32)["loss"])
@@ -556,7 +563,10 @@ def stage_ledger():
 
     for S, tag in ((args.N_samples, "coarse"), (args.N_samples + args.N_importance, "fine")):
         n = R * S
-        k = min(n, -(-int(n * occ_cfg.keep_fraction) // 128) * 128)
+        kf = occ_cfg.keep_fraction
+        if tag == "coarse" and occ_cfg.keep_fraction_coarse is not None:
+            kf = occ_cfg.keep_fraction_coarse
+        k = min(n, -(-int(n * kf) // 128) * 128)
         pts = jax.random.uniform(key, (n, 3), minval=-1.4, maxval=1.4)
         ms = timeit_scanned(lambda p: occupancy_scores(grid, p, bbox, occ_cfg), pts)
         entry(f"occ score gather {tag} ({n//1000}k)", ms, n, 17.0,
@@ -607,9 +617,10 @@ def stage_ledger():
     entry("occ update cells (per-update)", ms, occ_cfg.n_update_samples, None,
           f"every {occ_cfg.update_every} steps")
 
-    with open(os.path.join(REPO, "PROFILE_r04.md"), "w") as f:
-        f.write("# PROFILE_r04 — flagship step roofline ledger "
-                "(v5e, N_rand=1024, L4/F8 packed, keep=0.25)\n\n")
+    with open(os.path.join(REPO, "PROFILE_r05.md"), "w") as f:
+        f.write("# PROFILE_r05 — flagship step roofline ledger "
+                "(v5e, N_rand=1024, L4/F8 packed, block-8, "
+                "coarse keep 0.375 / fine 0.125)\n\n")
         f.write(f"Measured step total: **{step_ms:.2f} ms** "
                 f"({args.N_rand / step_ms * 1e3:.0f} rays/s). Components "
                 "amortized over a 32-iteration lax.scan (no dispatch "
@@ -626,7 +637,7 @@ def stage_ledger():
                 f"~{tot:.1f} ms vs step total {step_ms:.2f} ms (components "
                 "overlap/fuse inside the real program; sum is an upper "
                 "bound on slack attribution).\n")
-    log(f"wrote PROFILE_r04.md (component sum {sum(r[1] for r in rows):.1f} ms)")
+    log(f"wrote PROFILE_r05.md (component sum {sum(r[1] for r in rows):.1f} ms)")
 
 
 # --------------------------------------------------------------------------- #
