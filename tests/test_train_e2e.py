@@ -159,6 +159,63 @@ def test_eval_keep_budget(scene):
     assert mse < 5e-3, f"eval budget diverged from exact: mse {mse}"
 
 
+def test_eval_transmittance_cull(scene):
+    """--occ_eval_transmittance: the T<1e-3 threshold path compiles, renders
+    finite maps, and stays near the budget-only eval on a trained field
+    (occluded samples it demotes contribute <0.1% to the composite)."""
+    import dataclasses
+
+    args = tiny_args(
+        use_occupancy=True, occ_resolution=32, occ_update_every=4,
+        occ_warmup=8, occ_keep_fraction=0.25, occ_keep_coarse=0.5,
+        occ_block=8, N_samples=16, N_importance=16,
+    )
+    args.occ_keep_eval = 0.5
+    args.occ_eval_transmittance = True
+    trainer = Trainer(args, scene)
+    assert trainer.render_cfg.eval_mode().occupancy.transmittance_cull
+    assert not trainer.render_cfg.occupancy.transmittance_cull  # train: off
+
+    rng = np.random.default_rng(0)
+    for _ in range(16):
+        img_i = int(rng.choice(scene.i_train))
+        trainer.step(trainer.sample_image(img_i, args.N_rand, precrop=False))
+
+    pose = scene.poses[scene.i_test[0]]
+    rgb_t, _, _, _ = trainer.render_image(pose)
+    assert np.all(np.isfinite(np.asarray(rgb_t)))
+
+    saved = trainer.render_cfg
+    trainer.render_cfg = dataclasses.replace(
+        saved,
+        occupancy=dataclasses.replace(saved.occupancy, eval_transmittance=False),
+    )
+    rgb_b, _, _, _ = trainer.render_image(pose)
+    trainer.render_cfg = saved
+    mse = float(np.mean(np.square(np.asarray(rgb_t) - np.asarray(rgb_b))))
+    assert mse < 5e-3, f"transmittance threshold diverged from budget-only: {mse}"
+
+
+def test_occ_score_stride_trains(scene):
+    """--occ_score_stride 2 (dilated-grid strided scoring, the committed
+    negative-result lever): still trains to finite, improving PSNR."""
+    args = tiny_args(
+        use_occupancy=True, occ_resolution=32, occ_update_every=4,
+        occ_warmup=8, occ_keep_fraction=0.25, occ_keep_coarse=0.5,
+        occ_block=8, occ_score_stride=2, N_samples=16, N_importance=16,
+    )
+    trainer = Trainer(args, scene)
+    assert trainer.render_cfg.occupancy.score_stride == 2
+    rng = np.random.default_rng(0)
+    psnrs = []
+    for _ in range(30):
+        img_i = int(rng.choice(scene.i_train))
+        m = trainer.step(trainer.sample_image(img_i, args.N_rand, precrop=False))
+        psnrs.append(float(m["psnr"]))
+        assert np.isfinite(psnrs[-1])
+    assert np.mean(psnrs[-5:]) > np.mean(psnrs[:5])
+
+
 def test_debug_check_finite(capsys):
     import jax.numpy as jnp
     from hashnerf_tpu.utils.debug import check_finite
