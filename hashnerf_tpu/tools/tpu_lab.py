@@ -969,6 +969,18 @@ QUALITY_CONFIGS = {
     "r5_noocc_t8": {"QB_AABB": "1", "QB_NRAND": "1024", "QB_PACKED": "1",
                     "QB_ITERS": "1536", "QB_BLOCK": "128", "QB_OCC": "0",
                     "QB_NTEST": "8"},
+    # block-16 cull granularity (bench: 95.0k vs 92.5k at block-8; sort and
+    # unpermute shrink/widen 2x) — quality gate vs the block-8 flagship
+    "r5_blk16": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                 "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                 "QB_OCCBLOCK": "16", "QB_ADAPTIVE": "1",
+                 "QB_KEEP_COARSE": "0.375",
+                 "QB_KEEP_SCHEDULE": "0:0.5,512:0.25,1024:0.125"},
+    "r5_blk16_t8": {"QB_KEEP": "0.125", "QB_AABB": "1", "QB_NRAND": "1024",
+                    "QB_PACKED": "1", "QB_ITERS": "1536", "QB_BLOCK": "128",
+                    "QB_OCCBLOCK": "16", "QB_ADAPTIVE": "1",
+                    "QB_KEEP_COARSE": "0.375", "QB_NTEST": "8",
+                    "QB_KEEP_SCHEDULE": "0:0.5,512:0.25,1024:0.125"},
 }
 
 _QB_KEYS = ("QB_KEEP", "QB_AABB", "QB_NRAND", "QB_ITERS", "QB_BLOCK",
