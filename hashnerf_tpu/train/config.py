@@ -233,20 +233,22 @@ def config_parser() -> argparse.ArgumentParser:
 # (quality30_L4F8 33.9 vs psnr30_L4F8 35.7 @6144), so prefer tpu-fast
 # unless reproducing the L8/F4 curves.
 PRESETS = {
-    # Round-4 flagship: block-8 GLOBAL culling with asymmetric budgets —
-    # coarse keeps 0.25 (drives the fine PDF), fine anneals 0.5 -> 0.25 ->
-    # 0.125 as the occupancy grid matures. Measured (v5e): 96.3k rays/s at
-    # N_rand=1024 (11.3x the 1050Ti reference), 27.99 dB @1536 / 30 dB at
-    # iter 3045 on the procedural quality benchmark
-    # (BENCH_QUALITY_r4b_asym1024[_psnr30].json).
+    # Round-5 flagship: block-8 GLOBAL culling with asymmetric budgets —
+    # coarse keeps 0.375 (drives the fine PDF at 1/3 the encode cost; r5
+    # measured it the 1-dB lever), fine anneals 0.5 -> 0.25@512 ->
+    # 0.125@1024 as the occupancy grid matures. Measured (v5e): 92.4k
+    # rays/s at N_rand=1024 (10.8x the 1050Ti reference), 28.88 dB @1536
+    # (seed 0) / 30 dB at iter 2804 = 31.5 s of stepping
+    # (BENCH_QUALITY_r5_c375late / r5_psnr30). BENCH_KEEP_COARSE=0.25
+    # reproduces the round-4 max-throughput point (96.3k rays/s).
     "tpu-fast": [
         "--n_levels", "4",
         "--n_features_per_level", "8",
         "--compute_dtype", "bfloat16",
         "--use_occupancy",
         "--occ_keep_fraction", "0.125",
-        "--occ_keep_coarse", "0.25",
-        "--occ_keep_schedule", "0:0.5,384:0.25,768:0.125",
+        "--occ_keep_coarse", "0.375",
+        "--occ_keep_schedule", "0:0.5,512:0.25,1024:0.125",
         "--occ_block", "8",
         "--occ_adaptive_update",
         "--share_fine",
